@@ -1,0 +1,20 @@
+"""cosdata_tpu — a TPU-native vector database framework.
+
+A from-scratch rebuild of the capabilities of cosdata/cosdata (Rust, CPU/SIMD)
+as an idiomatic JAX/XLA/Pallas system:
+
+- Dense ANN: HNSW re-designed as fixed-degree adjacency arrays in HBM with
+  *batched* beam search (gather + MXU distance matmuls over vectorized
+  frontiers) instead of per-request pointer-chasing threads.
+- Scalar u8 / sub-byte (1/2/3-bit) quantization mapped onto int8 MXU matmuls
+  with on-the-fly dequantization.
+- Sparse (SPLADE-style) inverted index and TF-IDF/BM25 as segmented
+  gather/scatter scoring kernels over CSR posting arrays.
+- Hybrid search via reciprocal-rank fusion.
+- Git-like versioning, explicit/implicit transactions with WAL, snapshot
+  persistence, session auth, and the same REST surface as the reference.
+
+Reference behavior citations use `/root/reference/<path>:<line>` notation.
+"""
+
+__version__ = "0.1.0"

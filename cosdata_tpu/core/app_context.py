@@ -1,0 +1,117 @@
+"""Application context: config, collections map, users, auth secrets.
+
+Mirrors AppContext/AppEnv (/root/reference/src/app_context.rs:12-50,
+src/models/types.rs:1413-1588): a single process-wide context owning the
+metadata store, the collections map, the admin-key verification (double
+SHA-256) and the indexing manager.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import threading
+from pathlib import Path
+
+from cosdata_tpu.config import Config
+from cosdata_tpu.core.collection import Collection
+from cosdata_tpu.core.indexing_manager import IndexingManager
+from cosdata_tpu.store.meta import MetaStore
+
+
+def double_sha256(data: bytes) -> bytes:
+    """get_admin_key scheme (types.rs:1423-1478)."""
+    return hashlib.sha256(hashlib.sha256(data).digest()).digest()
+
+
+class AppContext:
+    def __init__(self, config: Config, admin_key: str):
+        self.config = config
+        self.data_dir = Path(config.data_path)
+        self.data_dir.mkdir(parents=True, exist_ok=True)
+        self.meta = MetaStore(self.data_dir / "meta.sqlite")
+        self.indexing = IndexingManager()
+        self.collections: dict[str, Collection] = {}
+        self.lock = threading.RLock()
+
+        stored = self.meta.get("meta", "admin_key_hash")
+        digest = double_sha256(admin_key.encode())
+        if stored is None:
+            self.meta.put("meta", "admin_key_hash", digest)
+        elif bytes(stored) != digest:
+            raise PermissionError("admin key does not match stored hash")
+        self.admin_key = admin_key
+
+        self._load_collections()
+
+    # ------------------------------------------------------------- lifecycle
+
+    def _load_collections(self):
+        """Reload collection configs + replay unindexed WALs (types.rs:575-760).
+
+        Index data snapshots are reloaded where present; versions after the
+        background pointer are re-indexed from their WAL files.
+        """
+        for _, cfg in self.meta.items("collections"):
+            coll = Collection(self.meta, self.data_dir, cfg)
+            self._restore_indexes(coll, cfg)
+            for version in coll.vcs.unindexed_versions():
+                self.indexing.index_version_on_restart(coll, version)
+            self.collections[coll.name] = coll
+
+    def _restore_indexes(self, coll: Collection, cfg: dict):
+        for desc in self.meta.get("indexes", coll.name, default=[]) or []:
+            t = desc.get("index_type")
+            if t == "dense":
+                coll.create_dense_index(
+                    distance_metric=desc.get("distance_metric", "cosine"),
+                    quantization=desc.get("quantization"),
+                    hnsw_params=desc.get("hnsw_params"),
+                )
+            elif t == "sparse":
+                coll.create_sparse_index(
+                    quantization=desc.get("quantization", 64),
+                    sample_threshold=desc.get("sample_threshold", 1000),
+                )
+            elif t == "tf_idf":
+                coll.create_tf_idf_index(
+                    k1=desc.get("k1", 1.2),
+                    b=desc.get("b", 0.75),
+                    sample_threshold=desc.get("sample_threshold", 1000),
+                )
+        snap_dir = coll.data_dir / "snapshot"
+        if snap_dir.exists():
+            from cosdata_tpu.store.snapshots import load_collection_state
+
+            load_collection_state(coll, snap_dir)
+
+    def _persist_index_descriptors(self, coll: Collection):
+        self.meta.put("indexes", coll.name, coll.list_indexes())
+
+    # ------------------------------------------------------------ collections
+
+    def create_collection(self, cfg: dict) -> Collection:
+        with self.lock:
+            name = cfg.get("name")
+            if not name:
+                raise ValueError("collection name is required")
+            if name in self.collections:
+                raise ValueError(f"collection {name} already exists")
+            coll = Collection(self.meta, self.data_dir, cfg)
+            self.collections[name] = coll
+            self.meta.put("collections", name, cfg)
+            return coll
+
+    def get_collection(self, name: str) -> Collection | None:
+        return self.collections.get(name)
+
+    def delete_collection(self, name: str) -> Collection:
+        with self.lock:
+            coll = self.collections.pop(name, None)
+            if coll is None:
+                raise KeyError(name)
+            self.meta.delete("collections", name)
+            self.meta.delete("indexes", name)
+            return coll
+
+    def list_collections(self) -> list[dict]:
+        return [c.to_dict() for c in self.collections.values()]

@@ -1,0 +1,714 @@
+"""Collection: id maps, raw vector store, per-index lifecycle, transactions.
+
+Mirrors /root/reference/src/models/collection.rs (struct :33-75, run_upload
+:386-436, index_embeddings :439-533, trigger_indexing :560) and the
+IndexOps sample-then-configure protocol (/root/reference/src/indexes/mod.rs:85-118).
+
+Host-side by design (SURVEY.md §7): transactions, WAL, id maps and metadata
+live on the host; the TPU sees index arrays and batched queries.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from pathlib import Path
+
+import numpy as np
+
+from cosdata_tpu.core.transaction import (
+    ExplicitTransaction,
+    ImplicitTransaction,
+    TransactionStatus,
+)
+from cosdata_tpu.indexes.hnsw import HNSWIndex, HNSWParams
+from cosdata_tpu.indexes.inverted import InvertedIndex
+from cosdata_tpu.indexes.tf_idf import TFIDFIndex
+from cosdata_tpu.ops.quantize import train_range
+from cosdata_tpu.store.meta import MetaStore
+from cosdata_tpu.store.versioning import VersionControl
+from cosdata_tpu.store.wal import OP_DELETE, OP_UPSERT, read_wal
+
+
+def tune_dense_range(values: np.ndarray, clamp_margin_percent: float = 1.0):
+    """Exact reference range auto-tune (indexes/hnsw/mod.rs:268-351):
+    smallest threshold from a fixed ladder with <= margin% clipped per side."""
+    values = np.asarray(values, np.float32).ravel()
+    n = max(values.size, 1)
+    start = -1.0
+    for t in (-0.025, -0.05, -0.1, -0.2, -0.3, -0.4, -0.5):
+        if float((values < t).sum()) / n * 100.0 <= clamp_margin_percent:
+            start = t
+            break
+    end = 1.0
+    for t in (0.025, 0.05, 0.1, 0.2, 0.3, 0.4, 0.5):
+        if float((values > t).sum()) / n * 100.0 <= clamp_margin_percent:
+            end = t
+            break
+    return (start, end)
+
+
+class DenseIndexHandle:
+    """HNSW + the auto-tuning sample buffer (quantization=auto,
+    indexes/dtos.rs:147-228)."""
+
+    def __init__(
+        self,
+        dimension: int,
+        distance_metric: str = "cosine",
+        quantization: dict | None = None,
+        hnsw_params: dict | None = None,
+        seed: int = 0,
+    ):
+        quantization = quantization or {"type": "auto", "sample_threshold": 100}
+        self.descriptor = {
+            "index_type": "dense",
+            "distance_metric": distance_metric,
+            "quantization": quantization,
+            "hnsw_params": hnsw_params or {},
+        }
+        self.dimension = dimension
+        self.metric = distance_metric
+        params = HNSWParams()
+        for k, v in (hnsw_params or {}).items():
+            if hasattr(params, k) and v is not None:
+                setattr(params, k, v)
+        self.params = params
+        self.seed = seed
+        self._sample: list[tuple[int, np.ndarray, dict | None]] = []
+        # per-row metadata value ids (row-aligned with the HNSW store)
+        self.field_rows: dict[str, list[int]] = {}
+        self.sample_threshold = 0
+        self.kind = "f32"
+        self.resolution = 2
+        self.range = (-1.0, 1.0)
+        self.index: HNSWIndex | None = None
+        # internal id <-> dense row maps
+        self.row_of: dict[int, int] = {}
+        self.internal_of: list[int] = []
+        qt = quantization.get("type", "auto")
+        if qt == "auto":
+            self.sample_threshold = int(quantization.get("sample_threshold", 100))
+            self.kind = "u8"
+        elif qt == "scalar":
+            dt = quantization.get("data_type", "u8")
+            if dt in ("binary", "quaternary", "quaternay", "octal"):
+                self.kind = "subbyte"
+                self.resolution = {"binary": 1, "quaternary": 2, "quaternay": 2, "octal": 3}[dt]
+            elif dt in ("u8", "f16", "f32"):
+                self.kind = dt
+            else:
+                raise ValueError(f"unknown data_type {dt}")
+            rng = quantization.get("range")
+            if rng:
+                self.range = (float(rng["min"]), float(rng["max"]))
+            self._build()
+        else:
+            raise ValueError(f"unknown quantization type {qt}")
+
+    @property
+    def is_configured(self) -> bool:
+        return self.index is not None
+
+    def _build(self):
+        self.index = HNSWIndex(
+            dim=self.dimension,
+            metric=self.metric,
+            kind=self.kind,
+            resolution=self.resolution,
+            range_=self.range,
+            params=self.params,
+            seed=self.seed,
+        )
+
+    def add_batch(
+        self,
+        internal_ids: list[int],
+        vectors: np.ndarray,
+        meta_ids: list[dict | None] | None = None,
+    ):
+        meta_ids = meta_ids or [None] * len(internal_ids)
+        if self.index is None:
+            for iid, v, m in zip(internal_ids, vectors, meta_ids):
+                self._sample.append((iid, v, m))
+            if len(self._sample) >= self.sample_threshold:
+                self.finalize_sampling()
+            return
+        rows = self.index.add(vectors)
+        for iid, row, m in zip(internal_ids, rows, meta_ids):
+            self.row_of[iid] = int(row)
+            self.internal_of.append(iid)
+            for field, lst in self.field_rows.items():
+                lst.append((m or {}).get(field, -1))
+            if m:
+                for field in m:
+                    if field not in self.field_rows:
+                        # backfill new field with -1 for existing rows
+                        self.field_rows[field] = [-1] * (len(self.internal_of) - 1)
+                        self.field_rows[field].append(m.get(field, -1))
+
+    def finalize_sampling(self):
+        if self.index is not None:
+            return
+        if self._sample:
+            allv = np.stack([v for _, v, _ in self._sample])
+            self.range = tune_dense_range(allv)
+        self._build()
+        pending, self._sample = self._sample, []
+        if pending:
+            ids = [i for i, _, _ in pending]
+            vecs = np.stack([v for _, v, _ in pending])
+            metas = [m for _, _, m in pending]
+            # route through add_batch's configured path for map bookkeeping
+            self.add_batch(ids, vecs, metas)
+
+    def flush(self):
+        self.finalize_sampling()
+
+    def delete(self, internal_id: int):
+        row = self.row_of.pop(internal_id, None)
+        if row is not None and self.index is not None:
+            self.index.delete(row)
+
+    def search(
+        self,
+        queries: np.ndarray,
+        top_k: int,
+        ef: int | None = None,
+        row_mask: np.ndarray | None = None,
+    ):
+        """Returns (internal_ids (B,k), scores (B,k)); -1 padded.
+
+        ``row_mask``: boolean filter over store rows (metadata filtering).
+        Selective filters use an exact masked scan; permissive ones use the
+        graph with oversampling + post-filter (see metadata/__init__.py on
+        the replica-node -> mask re-design).
+        """
+        self.flush()
+        if row_mask is not None:
+            selectivity = float(row_mask.mean()) if len(row_mask) else 0.0
+            if selectivity <= 0.10 or self.index.n <= 20_000:
+                rows, scores = self.index.search_brute(
+                    queries, top_k=top_k, mask=row_mask
+                )
+            else:
+                boost = min(int(2.0 / max(selectivity, 1e-3)), 8)
+                rows, scores = self.index.search(
+                    queries,
+                    top_k=min(top_k * boost, self.index.params.ef_search),
+                    ef=ef,
+                )
+                # post-filter, keep top_k survivors
+                ok = np.zeros(self.index.cap + 1, bool)
+                ok[: len(row_mask)] = row_mask
+                keep_mask = (rows >= 0) & ok[np.maximum(rows, 0)]
+                new_rows = np.full((len(rows), top_k), -1, np.int64)
+                new_scores = np.full((len(rows), top_k), -np.inf, np.float32)
+                for i in range(len(rows)):
+                    sel = rows[i][keep_mask[i]][:top_k]
+                    new_rows[i, : len(sel)] = sel
+                    new_scores[i, : len(sel)] = scores[i][keep_mask[i]][:top_k]
+                rows, scores = new_rows, new_scores
+        else:
+            rows, scores = self.index.search(queries, top_k=top_k, ef=ef)
+        internal = np.full_like(rows, -1)
+        io = np.asarray(self.internal_of, np.int64)
+        ok = rows >= 0
+        internal[ok] = io[rows[ok]]
+        return internal, scores
+
+    def row_mask_for(self, mask_fn) -> np.ndarray:
+        """Compile a metadata mask over store rows."""
+        n_rows = len(self.internal_of)
+        field_ids = {
+            f: np.asarray(lst[:n_rows], np.int64) for f, lst in self.field_rows.items()
+        }
+        for f in list(field_ids):
+            if len(field_ids[f]) < n_rows:
+                field_ids[f] = np.pad(
+                    field_ids[f], (0, n_rows - len(field_ids[f])), constant_values=-1
+                )
+        return mask_fn(field_ids, n_rows)
+
+
+class Collection:
+    def __init__(self, meta: MetaStore, data_dir: str | Path, config: dict):
+        self.meta = meta
+        self.config = config
+        self.name = config["name"]
+        self.data_dir = Path(data_dir) / "collections" / self.name
+        self.data_dir.mkdir(parents=True, exist_ok=True)
+        self.description = config.get("description")
+        self.dense_vector = config.get("dense_vector") or {"enabled": False}
+        self.sparse_vector = config.get("sparse_vector") or {"enabled": False}
+        self.tf_idf_options = config.get("tf_idf_options") or {"enabled": False}
+        self.metadata_schema = config.get("metadata_schema")
+        self.schema = None
+        if self.metadata_schema:
+            from cosdata_tpu.metadata.schema import MetadataSchema
+
+            self.schema = MetadataSchema(self.metadata_schema)
+        self.store_raw_text = bool(config.get("store_raw_text", False))
+        self.created_at = time.time()
+
+        self.vcs = VersionControl(meta, self.name)
+        self.lock = threading.RLock()
+
+        # id maps (the reference's etoi/itoe/dtoi TreeMaps, collection.rs:149-164)
+        self.etoi: dict = {}
+        self.itoe: dict[int, object] = {}
+        self.dtoi: dict[object, list[int]] = {}
+        self.raw: dict[int, dict] = {}
+        self.next_internal = 0
+
+        # indexes
+        self.dense: DenseIndexHandle | None = None
+        self.sparse: InvertedIndex | None = None
+        self.sparse_descriptor: dict | None = None
+        self.tfidf: TFIDFIndex | None = None
+        self.tfidf_descriptor: dict | None = None
+
+        # transactions
+        self.current_explicit: ExplicitTransaction | None = None
+        self.txns: dict[str, ExplicitTransaction] = {}
+        self.txn_versions: dict[str, int] = {}
+        self.implicit: ImplicitTransaction | None = None
+        self.implicit_status_counter = 0
+
+    # ------------------------------------------------------------ indexes
+
+    def create_dense_index(
+        self, distance_metric="cosine", quantization=None, hnsw_params=None
+    ):
+        with self.lock:
+            if not self.dense_vector.get("enabled"):
+                raise ValueError("dense vectors not enabled for this collection")
+            if self.dense is not None:
+                raise ValueError("dense index already exists")
+            self.dense = DenseIndexHandle(
+                dimension=int(self.dense_vector["dimension"]),
+                distance_metric=distance_metric,
+                quantization=quantization,
+                hnsw_params=hnsw_params,
+            )
+            return self.dense.descriptor
+
+    def create_sparse_index(self, quantization: int = 64, sample_threshold: int = 1000,
+                            early_terminate_threshold: float = 0.0):
+        with self.lock:
+            if not self.sparse_vector.get("enabled"):
+                raise ValueError("sparse vectors not enabled for this collection")
+            if self.sparse is not None:
+                raise ValueError("sparse index already exists")
+            self.sparse = InvertedIndex(
+                quantization=quantization,
+                sample_threshold=sample_threshold,
+                early_terminate_threshold=early_terminate_threshold,
+            )
+            self.sparse_descriptor = {
+                "index_type": "sparse",
+                "quantization": quantization,
+                "sample_threshold": sample_threshold,
+            }
+            return self.sparse_descriptor
+
+    def create_tf_idf_index(self, k1: float = 1.2, b: float = 0.75,
+                            sample_threshold: int = 1000):
+        with self.lock:
+            if not self.tf_idf_options.get("enabled"):
+                raise ValueError("tf-idf not enabled for this collection")
+            if self.tfidf is not None:
+                raise ValueError("tf-idf index already exists")
+            self.tfidf = TFIDFIndex(k1=k1, b=b, sample_threshold=sample_threshold)
+            self.tfidf_descriptor = {
+                "index_type": "tf_idf", "k1": k1, "b": b,
+                "sample_threshold": sample_threshold,
+            }
+            return self.tfidf_descriptor
+
+    def delete_index(self, index_type: str):
+        with self.lock:
+            if index_type == "dense":
+                self.dense = None
+            elif index_type == "sparse":
+                self.sparse = None
+            elif index_type == "tf-idf":
+                self.tfidf = None
+            else:
+                raise ValueError(f"unknown index type {index_type}")
+
+    def list_indexes(self) -> list[dict]:
+        out = []
+        if self.dense:
+            out.append(self.dense.descriptor)
+        if self.sparse_descriptor:
+            out.append(self.sparse_descriptor)
+        if self.tfidf_descriptor:
+            out.append(self.tfidf_descriptor)
+        return out
+
+    # ------------------------------------------------------- validation
+
+    def validate_vector(self, v: dict, upsert: bool) -> None:
+        """Mirrors run_upload validation (collection.rs:392-432)."""
+        if "id" not in v or v["id"] is None:
+            raise ValueError("vector id is required")
+        if not upsert and v["id"] in self.etoi:
+            raise ValueError(f"vector with id {v['id']} already exists")
+        dense = v.get("dense_values")
+        if dense is not None:
+            if not self.dense_vector.get("enabled"):
+                raise ValueError("dense values not supported by this collection")
+            if len(dense) != int(self.dense_vector["dimension"]):
+                raise ValueError(
+                    f"dense vector dimension mismatch: expected "
+                    f"{self.dense_vector['dimension']}, got {len(dense)}"
+                )
+        if v.get("sparse_values") is not None and not self.sparse_vector.get("enabled"):
+            raise ValueError("sparse values not supported by this collection")
+        if v.get("metadata"):
+            if self.schema is None:
+                raise ValueError("collection has no metadata schema")
+            self.schema.value_ids(v["metadata"])  # validates fields/values
+        if v.get("text") is not None and not (
+            self.tf_idf_options.get("enabled") or self.store_raw_text
+        ):
+            raise ValueError("text not supported by this collection")
+
+    # ------------------------------------------------------- transactions
+
+    def create_transaction(self) -> ExplicitTransaction:
+        with self.lock:
+            if self.current_explicit is not None:
+                raise RuntimeError("a transaction is already open for this collection")
+            txn = ExplicitTransaction()
+            self.current_explicit = txn
+            self.txns[txn.txn_id] = txn
+            return txn
+
+    def get_transaction(self, txn_id: str) -> ExplicitTransaction:
+        txn = self.txns.get(txn_id)
+        if txn is None:
+            raise KeyError(f"transaction {txn_id} not found")
+        return txn
+
+    def txn_upsert(self, txn_id: str, vectors: list[dict], upsert: bool) -> None:
+        """Buffer into the WAL — NO indexing yet (collection.rs:434)."""
+        with self.lock:
+            txn = self._open_txn(txn_id)
+            for v in vectors:
+                self.validate_vector(v, upsert)
+            txn.wal.append_upsert(vectors)
+
+    def txn_delete(self, txn_id: str, vector_id) -> None:
+        with self.lock:
+            txn = self._open_txn(txn_id)
+            txn.wal.append_delete(vector_id)
+
+    def _open_txn(self, txn_id: str) -> ExplicitTransaction:
+        txn = self.get_transaction(txn_id)
+        if txn is not self.current_explicit or txn.committed or txn.aborted:
+            raise RuntimeError(f"transaction {txn_id} is not open")
+        return txn
+
+    def commit_transaction(self, txn_id: str) -> int:
+        """Allot version, flush the WAL, bump current version; indexing runs
+        in the background (transactions/repo.rs:46-99)."""
+        with self.lock:
+            txn = self._open_txn(txn_id)
+            version = self.vcs.allot_version()
+            wal_path = self.data_dir / f"{version}.wal"
+            txn.wal.flush(wal_path)
+            self.vcs.set_current_version(
+                version,
+                {"kind": "explicit", "txn_id": txn.txn_id},
+                upserted=txn.wal.records_upserted,
+                deleted=txn.wal.records_deleted,
+                total_ops=txn.wal.total_operations,
+            )
+            txn.committed = True
+            self.current_explicit = None
+            self.txn_versions[txn.txn_id] = version
+            return version
+
+    def abort_transaction(self, txn_id: str) -> None:
+        with self.lock:
+            txn = self._open_txn(txn_id)
+            txn.aborted = True
+            self.current_explicit = None
+            del self.txns[txn_id]
+
+    # ------------------------------------------------------- indexing
+
+    def index_version(self, version: int, txn: ExplicitTransaction | None = None):
+        """Apply a committed version's WAL to the indexes (the work the
+        reference's IndexingManager threads do, indexing_manager.rs:60-181)."""
+        wal_path = self.data_dir / f"{version}.wal"
+        header, ops = read_wal(wal_path)
+        status = txn.status if txn else TransactionStatus()
+        status.start(header.get("total_ops", len(ops)))
+        upserted = deleted = 0
+        done = 0
+        for op, payload in ops:
+            if op == OP_UPSERT:
+                self.index_embeddings(payload)
+                upserted += len(payload)
+            done += 1
+            status.progress(upserted, deleted, done)
+        for op, payload in ops:
+            if op == OP_DELETE:
+                self.delete_embedding(payload)
+                deleted += 1
+                status.progress(upserted, deleted, done)
+        self.flush_indexes()
+        self.save_snapshot()
+        status.complete(version)
+        self.vcs.update_background_version(version)
+        wal_path.unlink(missing_ok=True)
+
+    def index_embeddings(self, vectors: list[dict]) -> None:
+        """Assign internal ids, update maps, fan out to indexes
+        (collection.rs:439-533)."""
+        with self.lock:
+            dense_batch: list[tuple[int, list[float], dict | None]] = []
+            for v in vectors:
+                ext = v["id"]
+                if ext in self.etoi:
+                    self.delete_embedding(ext)  # upsert semantics
+                iid = self.next_internal
+                self.next_internal += 1
+                self.etoi[ext] = iid
+                self.itoe[iid] = ext
+                doc = v.get("document_id")
+                if doc is not None:
+                    self.dtoi.setdefault(doc, []).append(iid)
+                self.raw[iid] = v
+                if v.get("dense_values") is not None and self.dense is not None:
+                    mids = (
+                        self.schema.value_ids(v.get("metadata"))
+                        if (self.schema and v.get("metadata") is not None)
+                        else None
+                    )
+                    dense_batch.append((iid, v["dense_values"], mids))
+                sp = v.get("sparse_values")
+                if sp is not None and self.sparse is not None:
+                    pairs = np.asarray(sp, np.float32).reshape(-1, 2)
+                    self.sparse.add(
+                        iid, pairs[:, 0].astype(np.int64), pairs[:, 1]
+                    )
+                if v.get("text") is not None and self.tfidf is not None:
+                    self.tfidf.add(iid, v["text"])
+            if dense_batch:
+                ids = [i for i, _, _ in dense_batch]
+                arr = np.asarray([d for _, d, _ in dense_batch], np.float32)
+                metas = [m for _, _, m in dense_batch]
+                self.dense.add_batch(ids, arr, metas)
+
+    def delete_embedding(self, external_id) -> None:
+        with self.lock:
+            iid = self.etoi.pop(external_id, None)
+            if iid is None:
+                return
+            self.itoe.pop(iid, None)
+            rec = self.raw.pop(iid, None)
+            if rec and rec.get("document_id") is not None:
+                lst = self.dtoi.get(rec["document_id"], [])
+                if iid in lst:
+                    lst.remove(iid)
+            if self.dense is not None:
+                self.dense.delete(iid)
+            if self.sparse is not None:
+                self.sparse.delete(iid)
+            if self.tfidf is not None:
+                self.tfidf.delete(iid)
+
+    def flush_indexes(self):
+        if self.dense is not None:
+            self.dense.flush()
+        if self.sparse is not None:
+            self.sparse.flush()
+        if self.tfidf is not None:
+            self.tfidf.flush()
+
+    def save_snapshot(self):
+        from cosdata_tpu.store.snapshots import save_collection_state
+
+        save_collection_state(self, self.data_dir / "snapshot")
+
+    # --------------------------------------------------- streaming (implicit)
+
+    def stream_upsert(self, vectors: list[dict]) -> None:
+        """Immediately-indexed implicit transaction path
+        (streaming/repo.rs:9-50, indexing_manager.rs:269-289)."""
+        with self.lock:
+            for v in vectors:
+                self.validate_vector(v, upsert=True)
+            imp = self._ensure_implicit()
+            imp.wal.append_upsert(vectors)
+            self.index_embeddings(vectors)
+
+    def stream_delete(self, vector_id) -> None:
+        with self.lock:
+            imp = self._ensure_implicit()
+            imp.wal.append_delete(vector_id)
+            self.delete_embedding(vector_id)
+
+    def _ensure_implicit(self) -> ImplicitTransaction:
+        if self.implicit is None:
+            version = self.vcs.allot_version()
+            self.vcs.set_current_version(
+                version, {"kind": "implicit", "epoch_id": int(time.time())}
+            )
+            self.implicit = ImplicitTransaction(
+                str(self.data_dir / f"{version}.wal"), version
+            )
+        return self.implicit
+
+    def close_epoch(self) -> None:
+        """Epoch close: flush indexes, finalize + delete implicit WAL
+        (collection.rs:264-278)."""
+        with self.lock:
+            if self.implicit is None:
+                return
+            self.flush_indexes()
+            self.save_snapshot()
+            self.implicit.wal.close()
+            Path(self.implicit.wal.path).unlink(missing_ok=True)
+            self.vcs.update_background_version(self.implicit.version)
+            self.implicit = None
+
+    # -------------------------------------------------------------- search
+
+    def _format_results(self, internal_ids, scores, return_raw_text: bool):
+        out = []
+        for row_ids, row_scores in zip(internal_ids, scores):
+            items = []
+            for iid, s in zip(row_ids, row_scores):
+                if iid < 0:
+                    continue
+                rec = self.raw.get(int(iid))
+                if rec is None:
+                    continue
+                items.append(
+                    {
+                        "id": rec["id"],
+                        "document_id": rec.get("document_id"),
+                        "score": float(s),
+                        "text": rec.get("text") if return_raw_text else None,
+                    }
+                )
+            out.append(items)
+        return out
+
+    def search_dense(self, query_vectors, top_k=10, return_raw_text=False,
+                     filter_dto=None):
+        row_mask = None
+        if filter_dto is not None:
+            if self.schema is None:
+                raise ValueError("collection has no metadata schema to filter on")
+            from cosdata_tpu.metadata.filtering import compile_filter
+
+            mask_fn = compile_filter(self.schema, filter_dto)
+            self.dense.flush()
+            row_mask = self.dense.row_mask_for(mask_fn)
+        ids, scores = self.dense.search(
+            np.asarray(query_vectors, np.float32), top_k, row_mask=row_mask
+        )
+        return self._format_results(ids, scores, return_raw_text)
+
+    def search_sparse(self, query_terms_list, top_k=10, early_terminate_threshold=None,
+                      return_raw_text=False):
+        if early_terminate_threshold is not None:
+            # per-request override (dtos.rs:44)
+            old = self.sparse.early_terminate_threshold
+            self.sparse.early_terminate_threshold = early_terminate_threshold
+            try:
+                ids, scores = self.sparse.search(query_terms_list, top_k=top_k)
+            finally:
+                self.sparse.early_terminate_threshold = old
+        else:
+            ids, scores = self.sparse.search(query_terms_list, top_k=top_k)
+        return self._format_results(ids, scores, return_raw_text)
+
+    def search_tfidf(self, queries, top_k=10, return_raw_text=False):
+        ids, scores = self.tfidf.search(queries, top_k=top_k)
+        return self._format_results(ids, scores, return_raw_text)
+
+    def hybrid_search(self, query: dict, top_k=10, fusion_constant_k=60.0,
+                      return_raw_text=False):
+        """RRF fusion of two legs, each fetching 3*top_k
+        (search/repo.rs:168-341)."""
+        legs = []
+        fetch = top_k * 3
+        if "query_vector" in query and "query_terms" in query:
+            legs.append(self.search_dense([query["query_vector"]], fetch)[0])
+            legs.append(self.search_sparse([query["query_terms"]], fetch,
+                        query.get("sparse_early_terminate_threshold"))[0])
+        elif "query_vector" in query and "query_text" in query:
+            legs.append(self.search_dense([query["query_vector"]], fetch)[0])
+            legs.append(self.search_tfidf([query["query_text"]], fetch)[0])
+        elif "query_terms" in query and "query_text" in query:
+            legs.append(self.search_sparse([query["query_terms"]], fetch,
+                        query.get("sparse_early_terminate_threshold"))[0])
+            legs.append(self.search_tfidf([query["query_text"]], fetch)[0])
+        else:
+            raise ValueError(
+                "hybrid query must combine two of query_vector/query_terms/query_text"
+            )
+        k = float(fusion_constant_k)
+        eps = float(np.finfo(np.float32).eps)
+        fused: dict = {}
+        for leg in legs:
+            for rank, item in enumerate(leg):
+                score = 1.0 / (rank + k + eps)
+                cur = fused.get(item["id"])
+                if cur is None:
+                    fused[item["id"]] = dict(item, score=score)
+                else:
+                    cur["score"] += score
+        out = sorted(fused.values(), key=lambda r: -r["score"])[:top_k]
+        if not return_raw_text:
+            for r in out:
+                r["text"] = None
+        return out
+
+    # -------------------------------------------------------------- vectors
+
+    def get_vector(self, external_id) -> dict | None:
+        iid = self.etoi.get(external_id)
+        if iid is None:
+            return None
+        return self.raw.get(iid)
+
+    def vectors_by_document(self, document_id) -> list[dict]:
+        return [self.raw[i] for i in self.dtoi.get(document_id, []) if i in self.raw]
+
+    # ---------------------------------------------------------------- info
+
+    def indexing_status(self) -> dict:
+        """Rollup over transaction statuses (collection.rs:577-645)."""
+        counts = {"not_started": 0, "in_progress": 0, "complete": 0}
+        total_upserted = 0
+        for txn in self.txns.values():
+            st = txn.status.to_dict()
+            counts[st["status"]] += 1
+            total_upserted += st["records_upserted"]
+        return {
+            "collection_name": self.name,
+            "status_counts": counts,
+            "total_records_upserted": total_upserted,
+            "current_version": self.vcs.current_version,
+            "background_version": self.vcs.background_version,
+        }
+
+    def to_dict(self) -> dict:
+        return {
+            "name": self.name,
+            "description": self.description,
+            "dense_vector": self.dense_vector,
+            "sparse_vector": self.sparse_vector,
+            "tf_idf_options": self.tf_idf_options,
+            "metadata_schema": self.metadata_schema,
+            "store_raw_text": self.store_raw_text,
+            "config": self.config.get("config", {}),
+        }

@@ -1,0 +1,74 @@
+"""Flat (brute-force) dense index: one MXU matmul + top-k.
+
+No reference equivalent (the reference always builds HNSW); this is both the
+minimum end-to-end slice (SURVEY.md §7 step 2) and the exact-search oracle
+used by recall tests and small collections.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cosdata_tpu.ops.storage import VectorStore
+from cosdata_tpu.ops.topk import NEG_INF, topk
+
+
+class FlatIndex:
+    def __init__(
+        self,
+        dim: int,
+        metric: str = "cosine",
+        kind: str = "f32",
+        resolution: int = 2,
+        range_: tuple[float, float] = (-1.0, 1.0),
+        keep_raw: bool = True,
+        initial_capacity: int = 1024,
+    ):
+        self.store = VectorStore(
+            dim=dim, kind=kind, metric=metric, resolution=resolution,
+            range=range_, keep_raw=keep_raw, initial_capacity=initial_capacity,
+        )
+        self.alive = jnp.ones((self.store.capacity,), bool)
+
+    @property
+    def n(self) -> int:
+        return self.store.n
+
+    def add(self, x: np.ndarray) -> np.ndarray:
+        ids = self.store.add(x)
+        if self.alive.shape[0] != self.store.capacity:
+            self.alive = jnp.pad(
+                self.alive,
+                ((0, self.store.capacity - self.alive.shape[0]),),
+                constant_values=True,
+            )
+        return ids
+
+    def delete(self, internal_id: int) -> None:
+        self.alive = self.alive.at[int(internal_id)].set(False)
+
+    def search(
+        self, queries: np.ndarray, top_k: int = 10, rerank: bool = False
+    ) -> tuple[np.ndarray, np.ndarray]:
+        queries = np.atleast_2d(np.asarray(queries, np.float32))
+        b = len(queries)
+        if self.n == 0:
+            return (
+                np.full((b, top_k), -1, np.int64),
+                np.full((b, top_k), -np.inf, np.float32),
+            )
+        q = self.store.quantize_queries(queries)
+        scores = self.store.scores_all(q)
+        mask = self.store.valid_mask() & self.alive
+        vals, ids = topk(scores, min(top_k * 5 if rerank else top_k, self.store.capacity), mask=mask[None, :])
+        if rerank and self.store.keep_raw:
+            re = self.store.rerank_scores(jnp.asarray(queries), ids)
+            re = jnp.where(vals > NEG_INF / 2, re, NEG_INF)
+            vals, pos = jax.lax.top_k(re, top_k)
+            ids = jnp.take_along_axis(ids, pos, axis=1)
+        else:
+            vals, ids = vals[:, :top_k], ids[:, :top_k]
+        ids = jnp.where(vals > NEG_INF / 2, ids, -1)
+        return np.asarray(ids, np.int64), np.asarray(vals)

@@ -1,0 +1,482 @@
+"""Dense HNSW index on fixed-degree adjacency arrays.
+
+TPU-native re-design of the reference HNSW
+(/root/reference/src/indexes/hnsw/mod.rs, src/vector_store.rs):
+
+- The pointer-linked `ProbNode` graph (prob_node.rs:99-511) becomes dense HBM
+  arrays: level-0 adjacency ``(cap, m0)`` and a single upper-level table
+  ``(cap_up, L, m)`` addressed through a node->slot map (only ~N/10 nodes
+  have level >= 1 with the default prob base 10, common.rs:421-434).
+- Sequential per-vector insertion with atomic edge updates
+  (vector_store.rs:782-940, create_node_edges :976-1109) becomes **batched
+  insertion waves**: one beam-search pass finds candidates for a whole wave,
+  intra-wave links come from a causal (W, W) MXU score matrix, and
+  bidirectional edges are applied with a keep-m-closest merge kernel.
+- Search (ann_search :256-402 + traverse_find_nearest :1112-1204) is the
+  batched beam search in ops.hnsw_kernels, descending the level hierarchy.
+- finalize_ann_results (:404-445) parity: candidates are deduplicated,
+  tombstoned ids dropped, and the top 5*k re-ranked with exact f32 scores
+  before the final top-k.
+- Deletes (delete_embedding :1206-1371) are tombstones filtered at result
+  time; edges through dead nodes keep the graph navigable (the reference
+  repairs neighbor lists; we keep traversal-through semantics).
+
+Graph construction differs from the reference's sequential order by design;
+parity is recall-vs-brute-force, not graph isomorphism (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cosdata_tpu.ops import hnsw_kernels as HK
+from cosdata_tpu.ops.storage import VectorStore
+from cosdata_tpu.ops.topk import NEG_INF
+
+
+@dataclass
+class HNSWParams:
+    """Hyperparameters, defaults mirroring /root/reference/config.toml:19-26."""
+
+    num_layers: int = 9
+    neighbors_count: int = 32
+    level_0_neighbors_count: int = 64
+    ef_construction: int = 128
+    ef_search: int = 256
+    level_prob_base: float = 10.0  # generate_level_probs x (common.rs:421)
+    # TPU batching knobs (no reference equivalent):
+    expand: int = 4  # beam entries expanded per wave iteration
+    visited_cap: int = 2048  # per-query visited ring size
+    max_iters: int = 96  # beam-search iteration bound
+    wave_size: int = 1024  # insert wave width
+    ef_upper: int = 8  # beam width above level 0
+
+    def to_dict(self) -> dict:
+        return dict(self.__dict__)
+
+
+@functools.partial(jax.jit, static_argnames=("m",))
+def _select_forward(
+    cand_ids, cand_scores, wave_row_scores, wave_ids, level_ok, m: int
+):
+    """Pick each new node's forward neighbors: top-m of (searched candidates
+    from the existing graph) ∪ (causally-earlier wave mates at this level)."""
+    wm = jnp.where(level_ok[None, :], wave_row_scores, NEG_INF)
+    w = wave_ids.shape[0]
+    ids = jnp.concatenate(
+        [cand_ids, jnp.broadcast_to(wave_ids[None, :], wm.shape)], axis=1
+    )
+    scores = jnp.concatenate([cand_scores, wm], axis=1)
+    top_s, pos = jax.lax.top_k(scores, m)
+    top_i = jnp.take_along_axis(ids, pos, axis=1)
+    top_i = jnp.where(top_s > NEG_INF / 2, top_i, -1)
+    return top_i, jnp.where(top_i >= 0, top_s, NEG_INF)
+
+
+@functools.partial(jax.jit, static_argnames=("m",))
+def _merge_neighbors_3d(adj, dists, rows, level, inc_ids, inc_dists, m: int):
+    """merge_neighbors over the (cap_up, L, m) upper table at one level.
+    Rows of -1 (padding) are dropped by the scatter."""
+    safe = jnp.maximum(rows, 0)
+    cur_ids = adj[safe, level]
+    cur_d = dists[safe, level]
+    all_ids = jnp.concatenate([cur_ids, inc_ids], axis=1)
+    all_d = jnp.concatenate([cur_d, inc_dists], axis=1)
+    from cosdata_tpu.ops.topk import unique_mask_ids
+
+    uniq = unique_mask_ids(all_ids)
+    masked = jnp.where(uniq, all_d, NEG_INF)
+    top_d, pos = jax.lax.top_k(masked, m)
+    top_i = jnp.take_along_axis(all_ids, pos, axis=1)
+    top_i = jnp.where(top_d > NEG_INF / 2, top_i, -1)
+    adj = adj.at[rows, level].set(top_i, mode="drop")
+    dists = dists.at[rows, level].set(
+        jnp.where(top_i >= 0, top_d, NEG_INF), mode="drop"
+    )
+    return adj, dists
+
+
+class HNSWIndex:
+    """Batched-wave HNSW over a :class:`VectorStore`."""
+
+    def __init__(
+        self,
+        dim: int,
+        metric: str = "cosine",
+        kind: str = "u8",
+        resolution: int = 2,
+        range_: tuple[float, float] = (-1.0, 1.0),
+        params: HNSWParams | None = None,
+        keep_raw: bool = True,
+        seed: int = 0,
+        initial_capacity: int = 1024,
+    ):
+        self.params = params or HNSWParams()
+        self.store = VectorStore(
+            dim=dim,
+            kind=kind,
+            metric=metric,
+            resolution=resolution,
+            range=range_,
+            keep_raw=keep_raw,
+            initial_capacity=initial_capacity,
+        )
+        p = self.params
+        self.cap = self.store.capacity
+        self.adj0 = jnp.full((self.cap, p.level_0_neighbors_count), -1, jnp.int32)
+        self.adj0_d = jnp.full((self.cap, p.level_0_neighbors_count), NEG_INF, jnp.float32)
+        # presize generously (expected upper fraction is 1/prob_base ~ 10%);
+        # growth reallocates AND recompiles every kernel touching the table
+        self.cap_up = max(1024, self.cap // 4)
+        self.up_adj = jnp.full(
+            (self.cap_up, p.num_layers, p.neighbors_count), -1, jnp.int32
+        )
+        self.up_d = jnp.full(
+            (self.cap_up, p.num_layers, p.neighbors_count), NEG_INF, jnp.float32
+        )
+        self.up_slot = jnp.full((self.cap,), -1, jnp.int32)
+        self.n_up = 0
+        self.levels = np.zeros((self.cap,), np.int8)  # host copy
+        self.level_counts = np.zeros(p.num_layers + 1, np.int64)  # nodes at level >= l
+        self.entry = -1
+        self.entry_level = -1
+        self.alive = jnp.ones((self.cap,), bool)
+        self.n_deleted = 0
+        self.rng = np.random.default_rng(seed)
+
+    # ------------------------------------------------------------------ util
+
+    @property
+    def n(self) -> int:
+        return self.store.n
+
+    def _sync_capacity(self):
+        if self.store.capacity == self.cap:
+            return
+        new_cap = self.store.capacity
+        grow = new_cap - self.cap
+        self.adj0 = jnp.pad(self.adj0, ((0, grow), (0, 0)), constant_values=-1)
+        self.adj0_d = jnp.pad(self.adj0_d, ((0, grow), (0, 0)), constant_values=NEG_INF)
+        self.up_slot = jnp.pad(self.up_slot, ((0, grow),), constant_values=-1)
+        self.alive = jnp.pad(self.alive, ((0, grow),), constant_values=True)
+        self.levels = np.pad(self.levels, ((0, grow),))
+        self.cap = new_cap
+
+    def _grow_up(self, need: int):
+        while self.cap_up < need:
+            self.cap_up *= 2
+        if self.up_adj.shape[0] < self.cap_up:
+            grow = self.cap_up - self.up_adj.shape[0]
+            self.up_adj = jnp.pad(
+                self.up_adj, ((0, grow), (0, 0), (0, 0)), constant_values=-1
+            )
+            self.up_d = jnp.pad(
+                self.up_d, ((0, grow), (0, 0), (0, 0)), constant_values=NEG_INF
+            )
+
+    def _sample_levels(self, w: int) -> np.ndarray:
+        """Geometric levels: P(level >= n) = base^-n, capped at num_layers
+        (generate_level_probs, common.rs:421-434)."""
+        u = self.rng.random(w)
+        lv = np.minimum(
+            np.floor(-np.log(np.maximum(u, 1e-300)) / np.log(self.params.level_prob_base)),
+            self.params.num_layers,
+        ).astype(np.int8)
+        return lv
+
+    def _active_upper_levels(self) -> list[int]:
+        return [
+            l
+            for l in range(self.params.num_layers, 0, -1)
+            if self.level_counts[l] > 0
+        ]
+
+    # ----------------------------------------------------------------- build
+
+    def add(self, x: np.ndarray) -> np.ndarray:
+        """Insert a batch; returns internal ids. Splits into waves."""
+        x = np.atleast_2d(np.asarray(x, np.float32))
+        out = []
+        for i in range(0, len(x), self.params.wave_size):
+            out.append(self._add_wave(x[i : i + self.params.wave_size]))
+        return np.concatenate(out) if out else np.empty((0,), np.int64)
+
+    def _search_levels(self, q, b: int, ef0: int, ef_up: int, record_from: int = 0):
+        """Descend the hierarchy; returns (ids, scores) at level 0 plus a dict
+        of per-upper-level results for levels <= record_from."""
+        p = self.params
+        per_level = {}
+        start = jnp.full((b, 1), self.entry, jnp.int32)
+        for l in self._active_upper_levels():
+            ef = ef0 if l <= record_from else ef_up
+            ids, scores = HK.beam_search(
+                self.store.metric,
+                self._kind(),
+                self.store.dim_pad,
+                ef,
+                p.expand,
+                p.visited_cap,
+                p.max_iters,
+                q,
+                self.store._arrays,
+                self.up_adj[:, l - 1],
+                self.up_slot,
+                start,
+                use_row_of=True,
+            )
+            if l <= record_from:
+                per_level[l] = (ids, scores)
+            start = ids[:, : max(p.ef_upper, 1)]
+        ids, scores = HK.beam_search(
+            self.store.metric,
+            self._kind(),
+            self.store.dim_pad,
+            ef0,
+            p.expand,
+            p.visited_cap,
+            p.max_iters,
+            q,
+            self.store._arrays,
+            self.adj0,
+            self.up_slot,  # unused
+            start,
+            use_row_of=False,
+        )
+        return ids, scores, per_level
+
+    def _kind(self) -> str:
+        return "float" if self.store.kind in ("f16", "f32") else self.store.kind
+
+    def _add_wave(self, x: np.ndarray) -> np.ndarray:
+        p = self.params
+        n0 = self.store.n
+        ids = self.store.add(x)
+        self._sync_capacity()
+        w = len(ids)
+        # pad the *search-side* arrays to a fixed wave width so every wave
+        # hits the same compiled kernels (padded rows are ignored on write)
+        wp = p.wave_size
+        pad_ids = (
+            np.concatenate([ids, np.full(wp - w, ids[-1], ids.dtype)])
+            if w < wp
+            else ids
+        )
+        ids32 = jnp.asarray(pad_ids, jnp.int32)
+
+        lv = self._sample_levels(w)
+        self.levels[ids] = lv
+        for l in range(0, p.num_layers + 1):
+            self.level_counts[l] += int((lv >= l).sum())
+        # assign upper slots
+        upper_mask = lv >= 1
+        n_new_up = int(upper_mask.sum())
+        if n_new_up:
+            self._grow_up(self.n_up + n_new_up)
+            slots = np.arange(self.n_up, self.n_up + n_new_up, dtype=np.int32)
+            self.up_slot = self.up_slot.at[jnp.asarray(ids[upper_mask])].set(
+                jnp.asarray(slots)
+            )
+            self.n_up += n_new_up
+
+        q_wave = self.store.gather_as_queries(ids32)
+        max_lv = int(lv.max()) if w else 0
+
+        # search existing graph for candidates (per level)
+        if n0 > 0 and self.entry >= 0:
+            c_ids, c_scores, per_level = self._search_levels(
+                q_wave, wp, p.ef_construction, p.ef_upper, record_from=max_lv
+            )
+        else:
+            c_ids = jnp.full((wp, p.ef_construction), -1, jnp.int32)
+            c_scores = jnp.full((wp, p.ef_construction), NEG_INF)
+            per_level = {}
+
+        wavemat = HK.wave_scores(
+            self.store.metric, self._kind(), self.store.dim_pad, q_wave, ids32,
+            self.store._arrays, causal=True,
+        )
+
+        lv_padded = np.full(wp, -1, np.int32)
+        lv_padded[:w] = lv
+        levels_dev = jnp.asarray(lv_padded)
+        up_slot_host = None
+        for l in range(0, max_lv + 1):
+            m_l = p.level_0_neighbors_count if l == 0 else p.neighbors_count
+            if l == 0:
+                cl_ids, cl_scores = c_ids, c_scores
+            elif l in per_level:
+                cl_ids, cl_scores = per_level[l]
+            else:
+                cl_ids = jnp.full((wp, p.ef_construction), -1, jnp.int32)
+                cl_scores = jnp.full((wp, p.ef_construction), NEG_INF)
+            fwd_ids, fwd_d = _select_forward(
+                cl_ids, cl_scores, wavemat, ids32, levels_dev >= l, m_l
+            )
+            # keep only rows for wave nodes that exist at this level
+            member = np.where(lv >= l)[0]
+            if len(member) == 0:
+                continue
+            mem_j = jnp.asarray(member)
+            rows_fwd = fwd_ids[mem_j]
+            dist_fwd = fwd_d[mem_j]
+            if l == 0:
+                self.adj0 = self.adj0.at[ids32[mem_j]].set(rows_fwd)
+                self.adj0_d = self.adj0_d.at[ids32[mem_j]].set(dist_fwd)
+            else:
+                if up_slot_host is None:
+                    up_slot_host = np.asarray(self.up_slot)
+                slots = jnp.asarray(up_slot_host[ids[member]])
+                self.up_adj = self.up_adj.at[slots, l - 1].set(rows_fwd)
+                self.up_d = self.up_d.at[slots, l - 1].set(dist_fwd)
+
+            # ---- back edges ----
+            f_ids = np.asarray(rows_fwd)
+            f_d = np.asarray(dist_fwd)
+            src = ids[member]
+            self._apply_back_edges(l, m_l, src, f_ids, f_d)
+
+        # entry point
+        wave_best = int(lv.argmax())
+        if lv[wave_best] > self.entry_level or self.entry < 0:
+            self.entry = int(ids[wave_best])
+            self.entry_level = int(lv[wave_best])
+        return ids
+
+    def _apply_back_edges(self, level: int, m_l: int, src, f_ids, f_d):
+        """Group forward edges by target and run the keep-m-closest merge."""
+        w, m = f_ids.shape
+        u = np.repeat(src, m)
+        v = f_ids.ravel()
+        d = f_d.ravel()
+        ok = v >= 0
+        u, v, d = u[ok], v[ok], d[ok]
+        if len(v) == 0:
+            return
+        order = np.argsort(v, kind="stable")
+        u, v, d = u[order], v[order], d[order]
+        uniq_v, starts = np.unique(v, return_index=True)
+        counts = np.diff(np.append(starts, len(v)))
+        # pad group count and width to power-of-2 buckets: variable shapes
+        # would recompile the merge kernel every wave
+        g = 1 << int(np.ceil(np.log2(max(int(counts.max()), 4))))
+        t = 1 << int(np.ceil(np.log2(max(len(uniq_v), 64))))
+        inc_ids = np.full((t, g), -1, np.int32)
+        inc_d = np.full((t, g), np.float32(-3.0e38))
+        for i, (s, c) in enumerate(zip(starts, counts)):
+            inc_ids[i, :c] = u[s : s + c]
+            inc_d[i, :c] = d[s : s + c]
+        # padded target rows use -1 and are dropped by the scatter
+        uniq_v = np.pad(uniq_v, (0, t - len(uniq_v)), constant_values=-1)
+        if level == 0:
+            self.adj0, self.adj0_d = HK.merge_neighbors(
+                self.adj0,
+                self.adj0_d,
+                jnp.asarray(uniq_v.astype(np.int32)),
+                jnp.asarray(inc_ids),
+                jnp.asarray(inc_d),
+                m_l,
+            )
+        else:
+            up_slot_host = np.asarray(self.up_slot)
+            rows = np.where(uniq_v >= 0, up_slot_host[np.maximum(uniq_v, 0)], -1)
+            self.up_adj, self.up_d = _merge_neighbors_3d(
+                self.up_adj,
+                self.up_d,
+                jnp.asarray(rows.astype(np.int32)),
+                level - 1,
+                jnp.asarray(inc_ids),
+                jnp.asarray(inc_d),
+                m_l,
+            )
+
+    # ---------------------------------------------------------------- search
+
+    def search(
+        self,
+        queries: np.ndarray,
+        top_k: int = 10,
+        ef: int | None = None,
+        rerank: bool = True,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Batched ANN search. Returns (ids (B, k), scores (B, k)); id -1 pads.
+
+        Mirrors search_internal + finalize_ann_results
+        (indexes/hnsw/mod.rs:390-441, vector_store.rs:404-445): beam search
+        with ef_search, keep 5*k candidates, exact-rerank on raw f32, top-k.
+        """
+        queries = np.atleast_2d(np.asarray(queries, np.float32))
+        b = len(queries)
+        if self.n == 0 or self.entry < 0:
+            return (
+                np.full((b, top_k), -1, np.int64),
+                np.full((b, top_k), -np.inf, np.float32),
+            )
+        p = self.params
+        ef = int(ef or p.ef_search)
+        ef = max(ef, top_k)
+        # pad the batch to a power of two so arbitrary client batch sizes
+        # reuse a handful of compiled kernels
+        bp = max(8, 1 << int(np.ceil(np.log2(b))))
+        if bp != b:
+            queries = np.concatenate([queries, np.repeat(queries[-1:], bp - b, 0)])
+        q = self.store.quantize_queries(queries)
+        ids, scores, _ = self._search_levels(q, bp, ef, p.ef_upper)
+        ids, scores = ids[:b], scores[:b]
+        queries = queries[:b]
+        keep = min(max(5 * top_k, top_k), ef)
+        ids = ids[:, :keep]
+        scores = scores[:, :keep]
+        valid = (ids >= 0) & self.alive[jnp.maximum(ids, 0)]
+        if rerank and self.store.keep_raw:
+            scores = self.store.rerank_scores(jnp.asarray(queries), ids)
+        scores = jnp.where(valid, scores, NEG_INF)
+        top_s, pos = jax.lax.top_k(scores, top_k)
+        top_i = jnp.take_along_axis(ids, pos, axis=1)
+        top_i = jnp.where(top_s > NEG_INF / 2, top_i, -1)
+        return np.asarray(top_i, np.int64), np.asarray(top_s)
+
+    def search_brute(
+        self,
+        queries: np.ndarray,
+        top_k: int = 10,
+        mask: np.ndarray | None = None,
+        rerank: bool = True,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Exact masked scan over the quantized store — used for highly
+        selective metadata filters where graph traversal would strand."""
+        queries = np.atleast_2d(np.asarray(queries, np.float32))
+        b = len(queries)
+        if self.n == 0:
+            return (
+                np.full((b, top_k), -1, np.int64),
+                np.full((b, top_k), -np.inf, np.float32),
+            )
+        q = self.store.quantize_queries(queries)
+        scores = self.store.scores_all(q)
+        valid = self.store.valid_mask() & self.alive
+        if mask is not None:
+            m = np.zeros(self.cap, bool)
+            m[: len(mask)] = mask
+            valid = valid & jnp.asarray(m)
+        keep = min(5 * top_k if rerank else top_k, self.cap)
+        vals, ids = jax.lax.top_k(jnp.where(valid[None, :], scores, NEG_INF), keep)
+        if rerank and self.store.keep_raw:
+            re = self.store.rerank_scores(jnp.asarray(queries), ids)
+            vals = jnp.where(vals > NEG_INF / 2, re, NEG_INF)
+            vals, pos = jax.lax.top_k(vals, top_k)
+            ids = jnp.take_along_axis(ids, pos, axis=1)
+        else:
+            vals, ids = vals[:, :top_k], ids[:, :top_k]
+        ids = jnp.where(vals > NEG_INF / 2, ids, -1)
+        return np.asarray(ids, np.int64), np.asarray(vals)
+
+    # ---------------------------------------------------------------- delete
+
+    def delete(self, internal_id: int) -> None:
+        self.alive = self.alive.at[int(internal_id)].set(False)
+        self.n_deleted += 1

@@ -1,0 +1,150 @@
+"""TF-IDF / BM25 full-text index.
+
+Re-design of the reference's hash-sharded trie of term postings
+(/root/reference/src/indexes/tf_idf/mod.rs:48-389,
+src/models/tf_idf_index.rs) as host postings + the device
+scatter-accumulate/top-k kernel:
+
+- documents: tokenize → stopword → snowball stem → xxhash32 term ids, BM25
+  term frequency with k1/b precomputed at index time (mod.rs:310-371).
+- average document length auto-tuned by sampling (mod.rs:177-207).
+- query scoring: score(doc) = Σ_t idf(t) × tf_stored(doc, t) with
+  idf = ln1p((N - df + 0.5)/(df + 0.5)) (sparse_ann_query.rs:298-302).
+  The reference approximates top-k through 512 doc-id buckets
+  (sparse_ann_query.rs:182-232); we compute the exact dense top-k — same
+  scores, strictly better candidate retention.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from cosdata_tpu.indexes.inverted import _Postings, _next_pow2, _PAD_MIN
+from cosdata_tpu.ops.sparse_kernels import accumulate_topk
+from cosdata_tpu.text.processing import count_tokens, process_text, process_text_query
+
+
+def get_idf(documents_count: int, documents_containing_term: int) -> float:
+    """sparse_ann_query.rs:298-302 (ln_1p form)."""
+    return math.log1p(
+        (documents_count - documents_containing_term + 0.5)
+        / (documents_containing_term + 0.5)
+    )
+
+
+class TFIDFIndex:
+    def __init__(
+        self,
+        k1: float = 1.2,
+        b: float = 0.75,
+        sample_threshold: int = 1000,
+        max_token_len: int = 40,
+        average_document_length: float | None = None,  # fixed -> skip sampling
+    ):
+        self.k1 = float(k1)
+        self.b = float(b)
+        self.max_token_len = max_token_len
+        self.sample_threshold = sample_threshold
+        self.is_configured = average_document_length is not None
+        self.average_document_length = float(average_document_length or 1.0)
+        self._sample: list[tuple[int, str]] = []
+        self._sample_len_sum = 0
+        self._postings: dict[int, _Postings] = {}  # term -> (doc_ids, tf-bits)
+        self._tfs: dict[int, list[float]] = {}
+        self.total_documents = 0
+        self.n_cap = 1024
+        self._alive = np.ones(self.n_cap, bool)
+        self._alive_dev = None
+        self.n = 0
+
+    # ----------------------------------------------------------------- write
+
+    def add(self, internal_id: int, text: str) -> None:
+        if not self.is_configured:
+            self._sample.append((internal_id, text))
+            self._sample_len_sum += count_tokens(text, self.max_token_len)
+            if len(self._sample) >= self.sample_threshold:
+                self._finalize_sampling()
+            return
+        self._insert(internal_id, text)
+
+    def _finalize_sampling(self):
+        if self._sample:
+            self.average_document_length = self._sample_len_sum / len(self._sample)
+        self.is_configured = True
+        pending, self._sample = self._sample, []
+        for iid, text in pending:
+            self._insert(iid, text)
+
+    def flush(self):
+        if not self.is_configured:
+            self._finalize_sampling()
+
+    def _insert(self, internal_id: int, text: str):
+        internal_id = int(internal_id)
+        pairs = process_text(
+            text, self.max_token_len, self.average_document_length, self.k1, self.b
+        )
+        for term, tf in pairs:
+            p = self._postings.get(term)
+            if p is None:
+                p = self._postings[term] = _Postings()
+                self._tfs[term] = []
+            p.ids.append(internal_id)
+            self._tfs[term].append(tf)
+        self.total_documents += 1
+        if internal_id >= self.n:
+            self.n = internal_id + 1
+        if internal_id >= self.n_cap:
+            new_cap = _next_pow2(internal_id + 1)
+            self._alive = np.concatenate(
+                [self._alive, np.ones(new_cap - self.n_cap, bool)]
+            )
+            self.n_cap = new_cap
+            self._alive_dev = None
+
+    def delete(self, internal_id: int) -> None:
+        if internal_id < self.n_cap:
+            self._alive[internal_id] = False
+            self._alive_dev = None
+
+    # ---------------------------------------------------------------- search
+
+    def search(self, queries: list[str], top_k: int = 10) -> tuple[np.ndarray, np.ndarray]:
+        b = len(queries)
+        if b == 0 or self.total_documents == 0:
+            return np.full((b, top_k), -1, np.int64), np.zeros((b, top_k), np.float32)
+        self.flush()
+        gathered = []
+        for text in queries:
+            ids_parts, contrib_parts = [], []
+            for term in process_text_query(text, self.max_token_len):
+                p = self._postings.get(term)
+                if p is None:
+                    continue
+                df = len(p.ids)
+                idf = get_idf(self.total_documents, df)
+                ids_parts.append(np.asarray(p.ids, np.int32))
+                contrib_parts.append(idf * np.asarray(self._tfs[term], np.float32))
+            if ids_parts:
+                gathered.append(
+                    (np.concatenate(ids_parts), np.concatenate(contrib_parts))
+                )
+            else:
+                gathered.append((np.zeros(0, np.int32), np.zeros(0, np.float32)))
+        pad = max(_PAD_MIN, _next_pow2(max(len(g[0]) for g in gathered)))
+        ids = np.full((b, pad), -1, np.int32)
+        contrib = np.zeros((b, pad), np.float32)
+        for i, (gi, gc) in enumerate(gathered):
+            ids[i, : len(gi)] = gi
+            contrib[i, : len(gc)] = gc
+        if self._alive_dev is None:
+            self._alive_dev = jnp.asarray(self._alive)
+        k_fetch = min(top_k, self.n_cap)
+        scores, out_ids = accumulate_topk(
+            jnp.asarray(ids), jnp.asarray(contrib), self._alive_dev, self.n_cap, k_fetch
+        )
+        return np.asarray(out_ids, np.int64), np.asarray(scores)

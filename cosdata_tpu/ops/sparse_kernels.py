@@ -1,0 +1,46 @@
+"""Sparse scoring kernels: scatter-accumulate + top-k over dense score rows.
+
+The reference accumulates per-query dot products in a FxHashMap while
+walking posting lists (/root/reference/src/models/sparse_ann_query.rs:89-126)
+and BM25 scores via a BinaryHeap k-way merge (:182-232). TPU-native both
+become one kernel: the host gathers the relevant posting slices into padded
+(B, PAD) arrays of (vector_id, contribution); the device scatter-adds into a
+dense (B, N) score matrix and runs top-k. Accumulation order differs from
+the k-way merge but the sums are identical up to f32 association.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from cosdata_tpu.ops.topk import NEG_INF
+
+
+@functools.partial(jax.jit, static_argnames=("n_cap", "k"))
+def accumulate_topk(
+    ids: jax.Array,  # (B, PAD) int32 posting vector-ids, -1 padded
+    contrib: jax.Array,  # (B, PAD) f32 per-posting contribution
+    alive: jax.Array,  # (n_cap,) bool tombstone mask
+    n_cap: int,
+    k: int,
+):
+    """Returns (scores (B, k), ids (B, k)) — ids are -1 where no candidate."""
+    b = ids.shape[0]
+    scores = jnp.zeros((b, n_cap), jnp.float32)
+    safe = jnp.maximum(ids, 0)
+    vals = jnp.where(ids >= 0, contrib, 0.0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, ids.shape, 0)
+    scores = scores.at[rows, safe].add(vals)
+    # hit-count via add (a scatter-set with mixed True/False duplicates would
+    # be nondeterministic for the padded id-0 lanes)
+    hits = jnp.zeros((b, n_cap), jnp.int32).at[rows, safe].add(
+        (ids >= 0).astype(jnp.int32)
+    )
+    masked = jnp.where((hits > 0) & alive[None, :], scores, NEG_INF)
+    top_s, top_i = jax.lax.top_k(masked, k)
+    top_i = jnp.where(top_s > NEG_INF / 2, top_i, -1)
+    top_s = jnp.where(top_s > NEG_INF / 2, top_s, 0.0)
+    return top_s, top_i

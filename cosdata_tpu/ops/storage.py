@@ -1,0 +1,315 @@
+"""Device-resident quantized vector store.
+
+The reference stores one `Storage` enum per vector behind lazy-loading file
+offsets (/root/reference/src/storage/mod.rs:4-25, models/file_persist.rs).
+TPU-native the whole store is a handful of dense HBM arrays with a
+host-tracked valid count; growth reallocates with capacity doubling (XLA
+recompiles once per capacity, amortized away by doubling).
+
+Four storage kinds, mirroring the reference's StorageType
+(quantization/mod.rs:8-32):
+
+- ``u8``        — centered int8 codes + row code-sums + dequant scale/offset
+- ``subbyte``   — packed uint32 bitplanes (resolution 1/2/3) + code-sums
+- ``f16``       — float16 data + f32 magnitudes
+- ``f32``       — float32 data + f32 magnitudes
+
+Quantized kinds score in dequantized space (see ops.quantize/ops.distance).
+Optionally keeps the raw f32 rows for exact re-ranking (the reference's
+finalize_ann_results re-ranks against raw embeddings, vector_store.rs:404-445).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cosdata_tpu.ops import distance as D
+from cosdata_tpu.ops import quantize as Q
+
+_LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "resolution", "d_true"))
+def _quantize_batch(x: jax.Array, lo, hi, kind: str, resolution: int, d_true: int):
+    if kind == "u8":
+        return Q.quantize_u8(x, lo, hi, d_true)
+    if kind == "subbyte":
+        return Q.quantize_subbyte(x, resolution, d_true)
+    if kind == "f16":
+        return Q.quantize_f16(x)
+    return Q.quantize_f32(x)
+
+
+@dataclass
+class VectorStore:
+    """Growing device store of quantized vectors (+ optional raw f32)."""
+
+    dim: int
+    kind: str = "u8"  # u8 | subbyte | f16 | f32
+    metric: str = "cosine"
+    resolution: int = 2  # for subbyte
+    range: tuple[float, float] = (-1.0, 1.0)  # for u8
+    keep_raw: bool = True
+    initial_capacity: int = 1024
+
+    n: int = field(default=0, init=False)
+    capacity: int = field(default=0, init=False)
+    dim_pad: int = field(default=0, init=False)
+    _arrays: Any = field(default=None, init=False)
+    _raw: jax.Array | None = field(default=None, init=False)
+
+    def __post_init__(self):
+        self.dim_pad = _round_up(self.dim, _LANE)
+        self.capacity = max(_round_up(self.initial_capacity, _LANE), _LANE)
+        self._arrays = self._empty(self.capacity)
+        if self.keep_raw:
+            self._raw = jnp.zeros((self.capacity, self.dim_pad), jnp.float32)
+
+    # -- allocation ---------------------------------------------------------
+
+    def _empty(self, cap: int):
+        d = self.dim_pad
+        if self.kind == "u8":
+            lo, hi = self.range
+            return Q.QuantizedU8(
+                jnp.zeros((cap, d), jnp.int8),
+                jnp.full((cap,), -d * 128, jnp.int32),  # all-zero-code rows
+                jnp.zeros((cap,), jnp.float32),
+                jnp.float32((hi - lo) / 255.0),
+                jnp.float32(lo),
+                jnp.float32(self.dim),
+            )
+        if self.kind == "subbyte":
+            w = d // 32
+            step = 2.0 / (1 << self.resolution)
+            return Q.QuantizedSubByte(
+                jnp.zeros((self.resolution, cap, w), jnp.uint32),
+                jnp.zeros((cap,), jnp.int32),
+                jnp.zeros((cap,), jnp.float32),
+                jnp.float32(step),
+                jnp.float32(step / 2.0 - 1.0),
+                jnp.float32(self.dim),
+            )
+        dt = jnp.float16 if self.kind == "f16" else jnp.float32
+        return Q.QuantizedFloat(jnp.zeros((cap, d), dt), jnp.zeros((cap,), jnp.float32))
+
+    def _grow_to(self, cap: int) -> None:
+        cap = _round_up(cap, _LANE)
+        new = self._empty(cap)
+        old = self._arrays
+        if self.kind == "subbyte":
+            new = new._replace(
+                planes=new.planes.at[:, : self.capacity].set(old.planes),
+                sums=new.sums.at[: self.capacity].set(old.sums),
+                mags=new.mags.at[: self.capacity].set(old.mags),
+            )
+        elif self.kind == "u8":
+            new = new._replace(
+                data=new.data.at[: self.capacity].set(old.data),
+                sums=new.sums.at[: self.capacity].set(old.sums),
+                mags=new.mags.at[: self.capacity].set(old.mags),
+            )
+        else:
+            new = new._replace(
+                data=new.data.at[: self.capacity].set(old.data),
+                mags=new.mags.at[: self.capacity].set(old.mags),
+            )
+        self._arrays = new
+        if self.keep_raw:
+            raw = jnp.zeros((cap, self.dim_pad), jnp.float32)
+            self._raw = raw.at[: self.capacity].set(self._raw)
+        self.capacity = cap
+
+    # -- ingestion ----------------------------------------------------------
+
+    def _pad_dims(self, x: np.ndarray) -> jax.Array:
+        x = np.asarray(x, dtype=np.float32)
+        if x.ndim == 1:
+            x = x[None]
+        if x.shape[1] != self.dim:
+            raise ValueError(f"expected dim {self.dim}, got {x.shape[1]}")
+        if self.dim_pad != self.dim:
+            # quantize_* zeroes padded-lane codes and excludes them from
+            # sums/magnitudes, so the pad value is irrelevant
+            x = np.pad(x, ((0, 0), (0, self.dim_pad - self.dim)))
+        return jnp.asarray(x)
+
+    def _quantize(self, xj: jax.Array):
+        return _quantize_batch(
+            xj, self.range[0], self.range[1], self.kind, self.resolution, self.dim
+        )
+
+    def add(self, x: np.ndarray) -> np.ndarray:
+        """Append rows; returns the assigned internal row ids."""
+        xj = self._pad_dims(x)
+        b = xj.shape[0]
+        if self.n + b > self.capacity:
+            self._grow_to(max(self.capacity * 2, self.n + b))
+        qb = self._quantize(xj)
+        self._arrays = _write_rows(self._arrays, qb, self.n, self.kind)
+        if self.keep_raw:
+            self._raw = jax.lax.dynamic_update_slice(self._raw, xj, (self.n, 0))
+        ids = np.arange(self.n, self.n + b, dtype=np.int64)
+        self.n += b
+        return ids
+
+    def set_range(self, lo: float, hi: float) -> None:
+        if self.n:
+            raise RuntimeError("cannot change range after vectors were added")
+        self.range = (float(lo), float(hi))
+        self._arrays = self._empty(self.capacity)
+
+    # -- queries ------------------------------------------------------------
+
+    def quantize_queries(self, q: np.ndarray):
+        return self._quantize(self._pad_dims(q))
+
+    def gather_as_queries(self, ids: jax.Array):
+        """Gather stored rows as a query pytree (for wave self-joins)."""
+        ids = jnp.asarray(ids)
+        a = self._arrays
+        if self.kind == "subbyte":
+            return a._replace(
+                planes=a.planes[:, ids], sums=a.sums[ids], mags=a.mags[ids]
+            )
+        if self.kind == "u8":
+            return a._replace(data=a.data[ids], sums=a.sums[ids], mags=a.mags[ids])
+        return a._replace(data=a.data[ids], mags=a.mags[ids])
+
+    def scores_all(self, q_quant) -> jax.Array:
+        """(Q, capacity) similarity scores (higher-is-better) vs all rows.
+
+        Rows >= n are garbage — callers mask with :meth:`valid_mask`.
+        """
+        kind = "float" if self.kind in ("f16", "f32") else self.kind
+        return D.score(self.metric, kind, q_quant, self._arrays, self.dim_pad)
+
+    def valid_mask(self) -> jax.Array:
+        return jnp.arange(self.capacity) < self.n
+
+    def scores_gathered(self, q_quant, ids: jax.Array) -> jax.Array:
+        """Per-query candidate scoring: ids (Q, K) -> scores (Q, K).
+
+        Negative ids are allowed (clamped gather); callers mask them out.
+        """
+        kind = "float" if self.kind in ("f16", "f32") else self.kind
+        return _scores_gathered(
+            self.metric, kind, self.dim_pad, q_quant, self._arrays, ids
+        )
+
+    def rerank_scores(self, q_raw: jax.Array, ids: jax.Array) -> jax.Array:
+        """Exact f32 scores of candidate ids (Q, K) vs raw queries (Q, D)."""
+        if self._raw is None:
+            raise RuntimeError("raw store disabled")
+        return _rerank(self.metric, self._pad_dims(np.asarray(q_raw)), self._raw, ids)
+
+    def raw_rows(self, ids: np.ndarray) -> np.ndarray:
+        out = np.asarray(self._raw[jnp.asarray(ids)])
+        return out[:, : self.dim]
+
+
+@functools.partial(jax.jit, static_argnames=("kind",), donate_argnums=(0,))
+def _write_rows(store, batch, offset: int, kind: str):
+    if kind == "subbyte":
+        return store._replace(
+            planes=jax.lax.dynamic_update_slice(
+                store.planes, batch.planes, (0, offset, 0)
+            ),
+            sums=jax.lax.dynamic_update_slice(store.sums, batch.sums, (offset,)),
+            mags=jax.lax.dynamic_update_slice(store.mags, batch.mags, (offset,)),
+        )
+    if kind == "u8":
+        return store._replace(
+            data=jax.lax.dynamic_update_slice(store.data, batch.data, (offset, 0)),
+            sums=jax.lax.dynamic_update_slice(store.sums, batch.sums, (offset,)),
+            mags=jax.lax.dynamic_update_slice(store.mags, batch.mags, (offset,)),
+        )
+    return store._replace(
+        data=jax.lax.dynamic_update_slice(store.data, batch.data, (offset, 0)),
+        mags=jax.lax.dynamic_update_slice(store.mags, batch.mags, (offset,)),
+    )
+
+
+def _cos_or_dot(metric, dot, qmags, cmags):
+    if metric == "dot":
+        return dot
+    if metric == "cosine":
+        den = qmags[:, None] * cmags
+        return jnp.where(den > 1e-30, dot / jnp.maximum(den, 1e-30), 0.0)
+    if metric == "euclidean":
+        d2 = qmags[:, None] ** 2 + cmags**2 - 2.0 * dot
+        return -jnp.sqrt(jnp.maximum(d2, 0.0))
+    raise ValueError(metric)
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "kind", "d"))
+def _scores_gathered(metric: str, kind: str, d: int, q, store, ids: jax.Array):
+    safe = jnp.maximum(ids, 0)
+    if kind == "u8":
+        cdata = store.data[safe]  # (Q, K, D) int8
+        csums = store.sums[safe]
+        cc = jnp.einsum(
+            "qd,qkd->qk", q.data, cdata, preferred_element_type=jnp.int32
+        )
+        code_dot = (
+            cc + 128 * (q.sums[:, None] + csums) + d * 128 * 128
+        ).astype(jnp.float32)
+        uq = (q.sums + 128 * d).astype(jnp.float32)
+        uc = (csums + 128 * d).astype(jnp.float32)
+        dot = (
+            q.a * q.a * code_dot + q.a * q.b * (uq[:, None] + uc) + q.b * q.b * q.dtrue
+        )
+        return _cos_or_dot(metric, dot, q.mags, store.mags[safe])
+    if kind == "subbyte":
+        res = store.planes.shape[0]
+        qvals = Q.subbyte_values(q.planes, d)  # (Q, d) int8
+        cvals = None
+        for p in range(res):
+            words = store.planes[p][safe]  # (Q, K, W)
+            qn, kn, w = words.shape
+            bits = Q.unpack_bits_from_u32(words.reshape(qn * kn, w), d)
+            contrib = bits.reshape(qn, kn, d).astype(jnp.int8) << (res - 1 - p)
+            cvals = contrib if cvals is None else cvals + contrib
+        code_dot = jnp.einsum(
+            "qd,qkd->qk", qvals, cvals, preferred_element_type=jnp.int32
+        ).astype(jnp.float32)
+        csums = store.sums[safe].astype(jnp.float32)
+        dot = (
+            q.a * q.a * code_dot
+            + q.a * q.b * (q.sums.astype(jnp.float32)[:, None] + csums)
+            + q.b * q.b * q.dtrue
+        )
+        return _cos_or_dot(metric, dot, q.mags, store.mags[safe])
+    # float
+    cand = store.data[safe].astype(jnp.float32)
+    dot = jnp.einsum(
+        "qd,qkd->qk",
+        q.data.astype(jnp.float32),
+        cand,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return _cos_or_dot(metric, dot, q.mags, store.mags[safe])
+
+
+@functools.partial(jax.jit, static_argnames=("metric",))
+def _rerank(metric: str, q_raw: jax.Array, raw: jax.Array, ids: jax.Array):
+    safe = jnp.maximum(ids, 0)
+    cand = raw[safe]  # (Q, K, D)
+    dot = jnp.einsum(
+        "qd,qkd->qk", q_raw, cand, precision=jax.lax.Precision.HIGHEST
+    )
+    qm = jnp.linalg.norm(q_raw, axis=-1)
+    cm = jnp.linalg.norm(cand, axis=-1)
+    if metric == "hamming":
+        metric = "euclidean"
+    return _cos_or_dot(metric, dot, qm, cm)

@@ -1,0 +1,92 @@
+"""HNSW recall vs brute force (SURVEY.md §4: recall parity, not isomorphism)."""
+
+import numpy as np
+import pytest
+
+from cosdata_tpu.indexes.flat import FlatIndex
+from cosdata_tpu.indexes.hnsw import HNSWIndex, HNSWParams
+
+
+def _unit(n, d, seed):
+    x = np.random.default_rng(seed).normal(size=(n, d)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+def _recall(got_ids, true_ids):
+    hits = 0
+    total = 0
+    for g, t in zip(got_ids, true_ids):
+        tset = set(int(i) for i in t if i >= 0)
+        hits += len(tset & set(int(i) for i in g if i >= 0))
+        total += len(tset)
+    return hits / max(total, 1)
+
+
+SMALL = dict(
+    num_layers=4, wave_size=256, ef_construction=64, ef_search=96,
+    max_iters=64, visited_cap=1024,
+)
+
+
+class TestFlat:
+    def test_exact_search(self):
+        d, n = 64, 500
+        x = _unit(n, d, 0)
+        idx = FlatIndex(dim=d, kind="f32")
+        idx.add(x)
+        q = x[:7]
+        ids, scores = idx.search(q, top_k=1)
+        np.testing.assert_array_equal(ids[:, 0], np.arange(7))
+        np.testing.assert_allclose(scores[:, 0], 1.0, rtol=1e-4)
+
+    def test_delete(self):
+        x = _unit(100, 32, 1)
+        idx = FlatIndex(dim=32, kind="f32")
+        idx.add(x)
+        idx.delete(5)
+        ids, _ = idx.search(x[5], top_k=3)
+        assert 5 not in ids[0]
+
+
+class TestHNSW:
+    @pytest.mark.parametrize("kind", ["f32", "u8"])
+    def test_recall_vs_bruteforce(self, kind):
+        d, n, nq, k = 96, 3000, 32, 10
+        x = _unit(n, d, 2)
+        q = _unit(nq, d, 3)
+        flat = FlatIndex(dim=d, kind="f32")
+        flat.add(x)
+        true_ids, _ = flat.search(q, top_k=k)
+
+        idx = HNSWIndex(dim=d, kind=kind, params=HNSWParams(**SMALL), seed=7)
+        idx.add(x)
+        got_ids, _ = idx.search(q, top_k=k)
+        r = _recall(got_ids, true_ids)
+        assert r >= 0.90, f"recall@{k} = {r}"
+
+    def test_incremental_and_self_query(self):
+        d = 64
+        x = _unit(600, d, 4)
+        idx = HNSWIndex(dim=d, kind="f32", params=HNSWParams(**SMALL), seed=1)
+        idx.add(x[:200])
+        idx.add(x[200:400])
+        idx.add(x[400:])
+        ids, scores = idx.search(x[:16], top_k=1)
+        # self should nearly always be the top hit with exact rerank
+        assert (ids[:, 0] == np.arange(16)).mean() >= 0.9
+
+    def test_delete_tombstone(self):
+        d = 32
+        x = _unit(300, d, 5)
+        idx = HNSWIndex(dim=d, kind="f32", params=HNSWParams(**SMALL), seed=2)
+        idx.add(x)
+        ids0, _ = idx.search(x[10], top_k=1)
+        assert ids0[0, 0] == 10
+        idx.delete(10)
+        ids1, _ = idx.search(x[10], top_k=5)
+        assert 10 not in ids1[0]
+
+    def test_empty_search(self):
+        idx = HNSWIndex(dim=16, kind="f32", params=HNSWParams(**SMALL))
+        ids, scores = idx.search(np.zeros((2, 16), np.float32), top_k=3)
+        assert (ids == -1).all()

@@ -1,0 +1,61 @@
+"""Sharded search on the virtual 8-device CPU mesh (SURVEY.md §4 (d))."""
+
+import numpy as np
+import jax
+import pytest
+
+from cosdata_tpu.parallel.sharded import ShardedFlatIndex, make_mesh
+
+
+def _unit(n, d, seed):
+    x = np.random.default_rng(seed).normal(size=(n, d)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "tests require the 8-device CPU mesh"
+    return make_mesh(8)  # dp=4, tp=2
+
+
+class TestShardedFlat:
+    def test_matches_single_device_bruteforce(self, mesh):
+        d, n, nq, k = 64, 512, 16, 10
+        x = _unit(n, d, 0)
+        q = _unit(nq, d, 1)
+        idx = ShardedFlatIndex(mesh, dim=d, capacity=1024)
+        idx.add(x)
+        ids, vals = idx.search(q, top_k=k)
+
+        true = (q @ x.T) / (
+            np.linalg.norm(q, axis=1)[:, None] * np.linalg.norm(x, axis=1)[None, :]
+        )
+        expect = np.argsort(-true, axis=1)[:, :k]
+        for i in range(nq):
+            assert set(ids[i]) == set(expect[i]), i
+            np.testing.assert_allclose(
+                np.sort(vals[i]), np.sort(np.take(true[i], expect[i])), rtol=1e-4
+            )
+
+    def test_incremental_insert_across_shards(self, mesh):
+        d = 64
+        x = _unit(300, d, 2)
+        idx = ShardedFlatIndex(mesh, dim=d, capacity=512)
+        idx.add(x[:100])
+        idx.add(x[100:250])
+        idx.add(x[250:])
+        ids, _ = idx.search(x[:8], top_k=1)
+        np.testing.assert_array_equal(ids[:, 0], np.arange(8))
+
+    def test_capacity_guard(self, mesh):
+        idx = ShardedFlatIndex(mesh, dim=64, capacity=16)
+        with pytest.raises(RuntimeError):
+            idx.add(_unit(100, 64, 3))
+
+    def test_dp_only_mesh(self):
+        mesh = make_mesh(8, tp=1)
+        x = _unit(128, 32, 4)
+        idx = ShardedFlatIndex(mesh, dim=32, capacity=256)
+        idx.add(x)
+        ids, _ = idx.search(x[:4], top_k=1)
+        np.testing.assert_array_equal(ids[:, 0], np.arange(4))

@@ -1,0 +1,249 @@
+"""Collection runtime: transactions, WAL, versioning, restart replay, hybrid."""
+
+import numpy as np
+import pytest
+
+from cosdata_tpu.config import load_config
+from cosdata_tpu.core.app_context import AppContext
+from cosdata_tpu.core.collection import tune_dense_range
+
+
+def _ctx(tmp_path):
+    cfg = load_config(data_path=str(tmp_path / "data"))
+    return AppContext(cfg, admin_key="test-admin")
+
+
+def _mk_collection(ctx, name="c1", dim=32, sparse=False, tfidf=False):
+    return ctx.create_collection(
+        {
+            "name": name,
+            "dense_vector": {"enabled": True, "dimension": dim},
+            "sparse_vector": {"enabled": sparse},
+            "tf_idf_options": {"enabled": tfidf},
+            "store_raw_text": tfidf,
+        }
+    )
+
+
+def _unit(n, d, seed):
+    x = np.random.default_rng(seed).normal(size=(n, d)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+class TestTuneRange:
+    def test_reference_ladder(self):
+        vals = np.random.default_rng(0).normal(0, 0.03, 10000).astype(np.float32)
+        assert tune_dense_range(vals) == (-0.1, 0.1)
+        vals2 = np.random.default_rng(0).uniform(-0.9, 0.9, 10000)
+        assert tune_dense_range(vals2) == (-1.0, 1.0)
+
+
+class TestTransactions:
+    def test_full_txn_lifecycle(self, tmp_path):
+        ctx = _ctx(tmp_path)
+        coll = _mk_collection(ctx)
+        coll.create_dense_index(
+            quantization={"type": "auto", "sample_threshold": 50},
+            hnsw_params={"wave_size": 64, "ef_construction": 48, "ef_search": 64,
+                         "num_layers": 3, "max_iters": 48},
+        )
+        x = _unit(120, 32, 1)
+        txn = coll.create_transaction()
+        vectors = [
+            {"id": f"v{i}", "dense_values": x[i].tolist(), "document_id": f"d{i%10}"}
+            for i in range(120)
+        ]
+        coll.txn_upsert(txn.txn_id, vectors, upsert=False)
+        assert txn.status.to_dict()["status"] == "not_started"
+        version = coll.commit_transaction(txn.txn_id)
+        assert version == 1
+        ctx.indexing.trigger(coll, version, txn)
+        ctx.indexing.wait_idle()
+        st = txn.status.to_dict()
+        assert st["status"] == "complete"
+        assert st["records_upserted"] == 120
+        assert coll.vcs.background_version == 1
+        assert not (coll.data_dir / "1.wal").exists()
+
+        res = coll.search_dense([x[5].tolist()], top_k=3)
+        assert res[0][0]["id"] == "v5"
+        assert res[0][0]["document_id"] == "d5"
+
+    def test_single_open_txn_and_abort(self, tmp_path):
+        ctx = _ctx(tmp_path)
+        coll = _mk_collection(ctx, "c2")
+        txn = coll.create_transaction()
+        with pytest.raises(RuntimeError):
+            coll.create_transaction()
+        coll.abort_transaction(txn.txn_id)
+        coll.create_transaction()  # now allowed
+
+    def test_duplicate_id_rejected(self, tmp_path):
+        ctx = _ctx(tmp_path)
+        coll = _mk_collection(ctx, "c3")
+        coll.stream_upsert([{"id": "a", "dense_values": [0.0] * 32}])
+        txn = coll.create_transaction()
+        with pytest.raises(ValueError, match="already exists"):
+            coll.txn_upsert(
+                txn.txn_id, [{"id": "a", "dense_values": [0.0] * 32}], upsert=False
+            )
+        # upsert path allows it
+        coll.txn_upsert(
+            txn.txn_id, [{"id": "a", "dense_values": [0.1] * 32}], upsert=True
+        )
+
+    def test_dimension_validation(self, tmp_path):
+        ctx = _ctx(tmp_path)
+        coll = _mk_collection(ctx, "c4", dim=8)
+        txn = coll.create_transaction()
+        with pytest.raises(ValueError, match="dimension mismatch"):
+            coll.txn_upsert(txn.txn_id, [{"id": "x", "dense_values": [0.1] * 9}], False)
+
+
+class TestRestartReplay:
+    def test_wal_replay_after_crash(self, tmp_path):
+        ctx = _ctx(tmp_path)
+        coll = _mk_collection(ctx, "cc")
+        coll.create_dense_index(
+            quantization={"type": "scalar", "data_type": "f32"},
+            hnsw_params={"wave_size": 64, "num_layers": 3},
+        )
+        ctx._persist_index_descriptors(coll)
+        x = _unit(40, 32, 2)
+        txn = coll.create_transaction()
+        coll.txn_upsert(
+            txn.txn_id,
+            [{"id": i, "dense_values": x[i].tolist()} for i in range(40)],
+            False,
+        )
+        version = coll.commit_transaction(txn.txn_id)
+        # simulate crash BEFORE background indexing ran: WAL exists on disk
+        assert (coll.data_dir / "1.wal").exists()
+        ctx.meta.close()
+
+        ctx2 = _ctx(tmp_path)
+        coll2 = ctx2.get_collection("cc")
+        assert coll2 is not None
+        assert coll2.vcs.current_version == version
+        assert coll2.vcs.background_version == version  # replayed
+        res = coll2.search_dense([x[7].tolist()], top_k=1)
+        assert res[0][0]["id"] == 7
+
+    def test_snapshot_restore(self, tmp_path):
+        ctx = _ctx(tmp_path)
+        coll = _mk_collection(ctx, "cs", sparse=True, tfidf=True)
+        coll.create_dense_index(quantization={"type": "scalar", "data_type": "f32"},
+                                hnsw_params={"wave_size": 64, "num_layers": 3})
+        coll.create_sparse_index(quantization=64, sample_threshold=5)
+        coll.create_tf_idf_index(sample_threshold=5)
+        ctx._persist_index_descriptors(coll)
+        x = _unit(30, 32, 3)
+        txn = coll.create_transaction()
+        coll.txn_upsert(
+            txn.txn_id,
+            [
+                {
+                    "id": f"v{i}",
+                    "dense_values": x[i].tolist(),
+                    "sparse_values": [[i % 7, 0.5], [(i + 3) % 7, 0.9]],
+                    "text": f"document number {i} about topic{i % 3}",
+                }
+                for i in range(30)
+            ],
+            False,
+        )
+        v = coll.commit_transaction(txn.txn_id)
+        ctx.indexing.trigger(coll, v, txn)
+        ctx.indexing.wait_idle()
+        expect_dense = coll.search_dense([x[4].tolist()], top_k=1)
+        expect_tfidf = coll.search_tfidf(["topic1"], top_k=5)
+        ctx.meta.close()
+
+        ctx2 = _ctx(tmp_path)
+        coll2 = ctx2.get_collection("cs")
+        got = coll2.search_dense([x[4].tolist()], top_k=1)
+        assert got[0][0]["id"] == expect_dense[0][0]["id"]
+        got_t = coll2.search_tfidf(["topic1"], top_k=5)
+        assert {r["id"] for r in got_t[0]} == {r["id"] for r in expect_tfidf[0]}
+        got_s = coll2.search_sparse([[(4 % 7, 0.5)]], top_k=3)
+        assert len(got_s[0]) > 0
+
+
+class TestStreamingAndHybrid:
+    def test_streaming_upsert_and_delete(self, tmp_path):
+        ctx = _ctx(tmp_path)
+        coll = _mk_collection(ctx, "st")
+        coll.create_dense_index(quantization={"type": "scalar", "data_type": "f32"},
+                                hnsw_params={"wave_size": 32, "num_layers": 2})
+        x = _unit(20, 32, 4)
+        coll.stream_upsert(
+            [{"id": i, "dense_values": x[i].tolist()} for i in range(20)]
+        )
+        res = coll.search_dense([x[3].tolist()], top_k=1)
+        assert res[0][0]["id"] == 3
+        coll.stream_delete(3)
+        res = coll.search_dense([x[3].tolist()], top_k=3)
+        assert all(r["id"] != 3 for r in res[0])
+        coll.close_epoch()
+        assert coll.implicit is None
+
+    def test_hybrid_rrf(self, tmp_path):
+        ctx = _ctx(tmp_path)
+        coll = _mk_collection(ctx, "hy", sparse=True, tfidf=True)
+        coll.create_dense_index(quantization={"type": "scalar", "data_type": "f32"},
+                                hnsw_params={"wave_size": 32, "num_layers": 2})
+        coll.create_sparse_index(quantization=64, sample_threshold=2)
+        coll.create_tf_idf_index(sample_threshold=2)
+        x = _unit(25, 32, 5)
+        coll.stream_upsert(
+            [
+                {
+                    "id": f"v{i}",
+                    "dense_values": x[i].tolist(),
+                    "sparse_values": [[i % 5, 1.0]],
+                    "text": f"alpha beta topic{i % 5}",
+                }
+                for i in range(25)
+            ]
+        )
+        coll.flush_indexes()
+        out = coll.hybrid_search(
+            {"query_vector": x[7].tolist(), "query_terms": [(7 % 5, 1.0)]},
+            top_k=5,
+        )
+        assert out and out[0]["score"] > 0
+        ids = [r["id"] for r in out]
+        assert "v7" in ids
+        out2 = coll.hybrid_search(
+            {"query_vector": x[7].tolist(), "query_text": "topic2"}, top_k=5
+        )
+        assert out2
+        with pytest.raises(ValueError):
+            coll.hybrid_search({"query_vector": x[0].tolist()}, top_k=5)
+
+    def test_get_vector_and_documents(self, tmp_path):
+        ctx = _ctx(tmp_path)
+        coll = _mk_collection(ctx, "gv")
+        x = _unit(5, 32, 6)
+        coll.stream_upsert(
+            [
+                {"id": f"v{i}", "dense_values": x[i].tolist(), "document_id": "doc1"}
+                for i in range(5)
+            ]
+        )
+        assert coll.get_vector("v2")["id"] == "v2"
+        assert coll.get_vector("nope") is None
+        assert len(coll.vectors_by_document("doc1")) == 5
+
+    def test_versions_listing(self, tmp_path):
+        ctx = _ctx(tmp_path)
+        coll = _mk_collection(ctx, "vl")
+        for i in range(3):
+            txn = coll.create_transaction()
+            coll.txn_upsert(
+                txn.txn_id, [{"id": f"a{i}", "dense_values": [0.1] * 32}], False
+            )
+            coll.commit_transaction(txn.txn_id)
+        versions = coll.vcs.list_versions()
+        assert [v["version"] for v in versions] == [0, 1, 2, 3]
+        assert coll.vcs.current_version == 3

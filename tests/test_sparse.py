@@ -1,0 +1,165 @@
+"""Sparse inverted index + BM25: parity with brute-force reference math."""
+
+import math
+
+import numpy as np
+
+from cosdata_tpu.indexes.inverted import InvertedIndex, tune_upper_bound
+from cosdata_tpu.indexes.tf_idf import TFIDFIndex, get_idf
+from cosdata_tpu.text.processing import (
+    STOPWORDS,
+    compute_bm25_tf,
+    count_tokens,
+    process_text,
+    process_text_query,
+    tokenize,
+)
+
+
+def _sparse_corpus(n, dims_universe, nnz, seed):
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(n):
+        d = rng.choice(dims_universe, size=nnz, replace=False)
+        v = rng.uniform(0.1, 1.0, size=nnz).astype(np.float32)
+        out.append((d, v))
+    return out
+
+
+class TestText:
+    def test_tokenize(self):
+        assert tokenize("Hello, world_2! foo-bar") == ["Hello", "world_2", "foo", "bar"]
+
+    def test_stopwords_and_count(self):
+        assert count_tokens("the cat and the hat") == 2  # cat, hat
+
+    def test_process_text_hashes_stable(self):
+        a = dict(process_text("running runs runner", avg_doc_len=3.0))
+        # 'running' and 'runs' stem to 'run' -> same hash, count 2
+        assert len(a) == 2
+        tf2 = compute_bm25_tf(2, 3, 3.0, 1.2, 0.75)
+        assert any(abs(v - tf2) < 1e-6 for v in a.values())
+
+    def test_query_unique_hashes(self):
+        q = process_text_query("cat cat dog")
+        assert len(q) == 2
+
+
+class TestInverted:
+    def test_exact_scoring_vs_bruteforce(self):
+        corpus = _sparse_corpus(200, 500, 16, seed=1)
+        idx = InvertedIndex(quantization=64, values_upper_bound=1.0)
+        for i, (d, v) in enumerate(corpus):
+            idx.add(i, d, v)
+        queries = _sparse_corpus(5, 500, 8, seed=2)
+        qlists = [list(zip(d.tolist(), v.tolist())) for d, v in queries]
+        ids, scores = idx.search(qlists, top_k=10)
+
+        # brute force in quantized space (reference semantics)
+        for qi, (qd, qv) in enumerate(queries):
+            qq = idx.quantize(qv)
+            expect = np.zeros(200)
+            hit = np.zeros(200, bool)
+            for d, q in zip(qd, qq):
+                for i, (cd, cv) in enumerate(corpus):
+                    m = cd == d
+                    if m.any():
+                        expect[i] += q * idx.quantize(cv[m])[0]
+                        hit[i] = True
+            expect[~hit] = -np.inf
+            order = np.argsort(-expect)[:10]
+            got = [i for i in ids[qi] if i >= 0]
+            assert set(got[:5]) <= set(order[:15])
+            np.testing.assert_allclose(
+                scores[qi][: len(got)], expect[got], rtol=1e-6
+            )
+
+    def test_sampling_tunes_upper_bound(self):
+        vals = np.concatenate([np.full(990, 2.5), np.full(10, 9.0)])
+        assert tune_upper_bound(vals) == 3.0
+        idx = InvertedIndex(quantization=64, sample_threshold=50)
+        rng = np.random.default_rng(3)
+        for i in range(60):
+            d = rng.choice(100, 8, replace=False)
+            v = rng.uniform(0, 2.9, 8).astype(np.float32)
+            idx.add(i, d, v)
+        assert idx.is_configured
+        assert idx.values_upper_bound == 3.0
+
+    def test_rerank_exact(self):
+        corpus = _sparse_corpus(100, 300, 12, seed=4)
+        idx = InvertedIndex(quantization=16, values_upper_bound=1.0)
+        for i, (d, v) in enumerate(corpus):
+            idx.add(i, d, v)
+        q = [list(zip(corpus[7][0].tolist(), corpus[7][1].tolist()))]
+        ids, scores = idx.search(q, top_k=3, rerank=True)
+        assert ids[0, 0] == 7
+        expect = float((corpus[7][1] ** 2).sum())
+        np.testing.assert_allclose(scores[0, 0], expect, rtol=1e-5)
+
+    def test_delete(self):
+        corpus = _sparse_corpus(50, 100, 8, seed=5)
+        idx = InvertedIndex(quantization=64, values_upper_bound=1.0)
+        for i, (d, v) in enumerate(corpus):
+            idx.add(i, d, v)
+        q = [list(zip(corpus[3][0].tolist(), corpus[3][1].tolist()))]
+        ids, _ = idx.search(q, top_k=1)
+        assert ids[0, 0] == 3
+        idx.delete(3)
+        ids, _ = idx.search(q, top_k=5)
+        assert 3 not in ids[0]
+
+
+DOCS = [
+    "the quick brown fox jumps over the lazy dog",
+    "a fast auburn fox leaps over sleepy canines",
+    "machine learning on tensor processing units",
+    "jax compiles numerical programs for accelerators",
+    "the dog sleeps while the fox runs through the forest",
+    "quantum computing is a different paradigm entirely",
+]
+
+
+class TestBM25:
+    def _brute_bm25(self, idx: TFIDFIndex, query: str):
+        """Independent BM25 implementation (the python-reference strategy of
+        tests/test-tf-idf-bm25.py in the reference)."""
+        terms = process_text_query(query)
+        n = idx.total_documents
+        scores = {}
+        for t in terms:
+            p = idx._postings.get(t)
+            if not p:
+                continue
+            idf = get_idf(n, len(p.ids))
+            for doc, tf in zip(p.ids, idx._tfs[t]):
+                scores[doc] = scores.get(doc, 0.0) + idf * tf
+        return scores
+
+    def test_scores_match_reference_math(self):
+        idx = TFIDFIndex(average_document_length=None, sample_threshold=3)
+        for i, d in enumerate(DOCS):
+            idx.add(i, d)
+        idx.flush()
+        for query in ["fox dog", "jax accelerators", "quantum fox"]:
+            ids, scores = idx.search([query], top_k=6)
+            expect = self._brute_bm25(idx, query)
+            got = {int(i): float(s) for i, s in zip(ids[0], scores[0]) if i >= 0}
+            assert set(got) == set(expect)
+            for k in got:
+                np.testing.assert_allclose(got[k], expect[k], rtol=1e-5)
+
+    def test_avgdl_sampling(self):
+        idx = TFIDFIndex(sample_threshold=4)
+        for i, d in enumerate(DOCS[:4]):
+            idx.add(i, d)
+        assert idx.is_configured
+        expect = np.mean([count_tokens(d) for d in DOCS[:4]])
+        np.testing.assert_allclose(idx.average_document_length, expect)
+
+    def test_ranking_sane(self):
+        idx = TFIDFIndex(average_document_length=6.0)
+        for i, d in enumerate(DOCS):
+            idx.add(i, d)
+        ids, _ = idx.search(["tensor processing units"], top_k=2)
+        assert ids[0, 0] == 2
