@@ -17,6 +17,7 @@ def main():
     parser.add_argument(
         "--skip-confirmation", action="store_true", help="accepted for CLI parity"
     )
+    parser.add_argument("--no-grpc", action="store_true", help="disable gRPC server")
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO)
@@ -32,6 +33,20 @@ def main():
     from cosdata_tpu.api.server import run_server
 
     ctx = AppContext(config, admin_key=args.admin_key)
+
+    # spawn the gRPC server next to HTTP (main.rs:40-47 + grpc/server.rs:24-44)
+    if not args.no_grpc:
+        try:
+            from cosdata_tpu.grpc_api.server import build_server
+
+            grpc_server = build_server(ctx)
+            grpc_server.start()
+            logging.info(
+                "gRPC server on %s:%s", config.grpc.host, config.grpc.port
+            )
+        except Exception:
+            logging.exception("gRPC server failed to start; continuing with HTTP")
+
     run_server(ctx)
 
 
