@@ -18,3 +18,15 @@ Reference behavior citations use `/root/reference/<path>:<line>` notation.
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache: kernel shapes are deliberately bucketed
+# (see docs/DESIGN.md "Compilation discipline"), so across-process reuse
+# eliminates nearly all compile latency — critical when TPU compiles go
+# through a remote-compile service. Opt out with JAX_COMPILATION_CACHE_DIR="".
+import os as _os
+
+if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
+    _os.environ["JAX_COMPILATION_CACHE_DIR"] = _os.path.expanduser(
+        "~/.cache/cosdata_tpu_xla"
+    )
+

@@ -28,6 +28,11 @@ def main():
     if args.data_path:
         overrides["data_path"] = args.data_path
     config = load_config(args.config, **overrides)
+    import os
+
+    if os.environ.get("COSDATA_HOST"):
+        config.server.host = os.environ["COSDATA_HOST"]
+        config.grpc.host = os.environ["COSDATA_HOST"]
 
     from cosdata_tpu.core.app_context import AppContext
     from cosdata_tpu.api.server import run_server

@@ -143,7 +143,7 @@ class Server:
 
         v = c + "/{collection_id}/vectors"
         r.add_get(v, self.vectors_by_document)
-        r.add_get(v + "/{vector_id}", self.get_vector)
+        r.add_get(v + "/{vector_id}", self.get_vector, allow_head=True)
         r.add_get(v + "/{vector_id}/neighbors", self.get_neighbors)
 
         t = c + "/{collection_id}/transactions"
@@ -201,11 +201,13 @@ class Server:
         return web.json_response(self._coll(request).indexing_status())
 
     async def load_collection(self, request):
-        # collections stay resident in this build (collection_cache parity:
-        # load/unload is accepted; eviction policy is a host-memory concern)
+        name = request.match_info["collection_id"]
+        await _run(request, self.ctx.load_collection, name)
         return web.json_response({"status": "loaded"})
 
     async def unload_collection(self, request):
+        name = request.match_info["collection_id"]
+        await _run(request, self.ctx.unload_collection, name)
         return web.json_response({"status": "unloaded"})
 
     # -------------------------------------------------------------- indexes

@@ -89,26 +89,73 @@ class AppContext:
 
     # ------------------------------------------------------------ collections
 
+    #: max resident collections (reference collection_cache: 10 by default,
+    #: config_loader.rs:201-225)
+    max_loaded_collections = 10
+
     def create_collection(self, cfg: dict) -> Collection:
         with self.lock:
             name = cfg.get("name")
             if not name:
                 raise ValueError("collection name is required")
-            if name in self.collections:
+            if name in self.collections or self.meta.get("collections", name):
                 raise ValueError(f"collection {name} already exists")
             coll = Collection(self.meta, self.data_dir, cfg)
             self.collections[name] = coll
             self.meta.put("collections", name, cfg)
+            self._maybe_evict(keep=name)
             return coll
 
     def get_collection(self, name: str) -> Collection | None:
-        return self.collections.get(name)
+        coll = self.collections.get(name)
+        if coll is None and self.meta.get("collections", name) is not None:
+            # lazily reload an unloaded collection (collection_cache.rs:56-270)
+            coll = self.load_collection(name)
+        return coll
+
+    def unload_collection(self, name: str) -> None:
+        """Snapshot and drop a collection from memory (POST .../unload)."""
+        with self.lock:
+            coll = self.collections.pop(name, None)
+            if coll is None:
+                if self.meta.get("collections", name) is None:
+                    raise KeyError(f"collection '{name}' not found")
+                return
+            coll.flush_indexes()
+            coll.save_snapshot()
+
+    def load_collection(self, name: str) -> Collection:
+        with self.lock:
+            if name in self.collections:
+                return self.collections[name]
+            cfg = self.meta.get("collections", name)
+            if cfg is None:
+                raise KeyError(f"collection '{name}' not found")
+            coll = Collection(self.meta, self.data_dir, cfg)
+            self._restore_indexes(coll, cfg)
+            for version in coll.vcs.unindexed_versions():
+                self.indexing.index_version_on_restart(coll, version)
+            self.collections[name] = coll
+            self._maybe_evict(keep=name)
+            return coll
+
+    def _maybe_evict(self, keep: str) -> None:
+        """Evict the oldest-loaded collection past the residency cap."""
+        while len(self.collections) > self.max_loaded_collections:
+            victim = next(n for n in self.collections if n != keep)
+            try:
+                self.unload_collection(victim)
+            except Exception:  # pragma: no cover
+                self.collections.pop(victim, None)
 
     def delete_collection(self, name: str) -> Collection:
         with self.lock:
             coll = self.collections.pop(name, None)
             if coll is None:
-                raise KeyError(name)
+                if self.meta.get("collections", name) is None:
+                    raise KeyError(f"collection '{name}' not found")
+                coll = self.load_collection(name)
+                self.collections.pop(name, None)
             self.meta.delete("collections", name)
             self.meta.delete("indexes", name)
             return coll

@@ -49,6 +49,10 @@ class FlatIndex:
     def delete(self, internal_id: int) -> None:
         self.alive = self.alive.at[int(internal_id)].set(False)
 
+    #: above this capacity, use the chunked scan (never materializes (B, N))
+    SCAN_THRESHOLD = 1 << 17
+    SCAN_CHUNK = 1 << 16
+
     def search(
         self, queries: np.ndarray, top_k: int = 10, rerank: bool = False
     ) -> tuple[np.ndarray, np.ndarray]:
@@ -60,9 +64,29 @@ class FlatIndex:
                 np.full((b, top_k), -np.inf, np.float32),
             )
         q = self.store.quantize_queries(queries)
-        scores = self.store.scores_all(q)
         mask = self.store.valid_mask() & self.alive
-        vals, ids = topk(scores, min(top_k * 5 if rerank else top_k, self.store.capacity), mask=mask[None, :])
+        k_fetch = min(top_k * 5 if rerank else top_k, self.store.capacity)
+        if self.store.capacity >= self.SCAN_THRESHOLD:
+            from cosdata_tpu.ops.flat_scan import flat_scan_topk
+
+            if self.store.capacity % self.SCAN_CHUNK:
+                self.store._grow_to(
+                    -(-self.store.capacity // self.SCAN_CHUNK) * self.SCAN_CHUNK
+                )
+                self.alive = jnp.pad(
+                    self.alive,
+                    ((0, self.store.capacity - self.alive.shape[0]),),
+                    constant_values=True,
+                )
+                mask = self.store.valid_mask() & self.alive
+            kind = "float" if self.store.kind in ("f16", "f32") else self.store.kind
+            vals, ids = flat_scan_topk(
+                self.store.metric, kind, self.store.dim_pad, k_fetch,
+                self.SCAN_CHUNK, q, self.store._arrays, mask,
+            )
+        else:
+            scores = self.store.scores_all(q)
+            vals, ids = topk(scores, k_fetch, mask=mask[None, :])
         if rerank and self.store.keep_raw:
             re = self.store.rerank_scores(jnp.asarray(queries), ids)
             re = jnp.where(vals > NEG_INF / 2, re, NEG_INF)

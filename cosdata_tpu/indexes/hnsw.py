@@ -55,25 +55,39 @@ class HNSWParams:
     max_iters: int = 96  # beam-search iteration bound
     wave_size: int = 1024  # insert wave width
     ef_upper: int = 8  # beam width above level 0
+    # "heuristic" = HNSW diversity pruning (Algorithm 4); "closest" =
+    # keep-m-closest, the reference's behavior (prob_node.rs:210-283)
+    neighbor_selection: str = "heuristic"
 
     def to_dict(self) -> dict:
         return dict(self.__dict__)
 
 
-@functools.partial(jax.jit, static_argnames=("m",))
-def _select_forward(
-    cand_ids, cand_scores, wave_row_scores, wave_ids, level_ok, m: int
+@functools.partial(jax.jit, static_argnames=("c",))
+def _merge_candidates(
+    cand_ids, cand_scores, wave_row_scores, wave_ids, level_ok, c: int
 ):
-    """Pick each new node's forward neighbors: top-m of (searched candidates
-    from the existing graph) ∪ (causally-earlier wave mates at this level)."""
+    """Top-c of (searched candidates from the existing graph) ∪
+    (causally-earlier wave mates at this level), deduplicated."""
+    from cosdata_tpu.ops.topk import unique_mask_ids
+
     wm = jnp.where(level_ok[None, :], wave_row_scores, NEG_INF)
-    w = wave_ids.shape[0]
     ids = jnp.concatenate(
         [cand_ids, jnp.broadcast_to(wave_ids[None, :], wm.shape)], axis=1
     )
     scores = jnp.concatenate([cand_scores, wm], axis=1)
-    top_s, pos = jax.lax.top_k(scores, m)
+    uniq = unique_mask_ids(ids)
+    scores = jnp.where(uniq, scores, NEG_INF)
+    top_s, pos = jax.lax.top_k(scores, min(c, scores.shape[1]))
     top_i = jnp.take_along_axis(ids, pos, axis=1)
+    top_i = jnp.where(top_s > NEG_INF / 2, top_i, -1)
+    return top_i, jnp.where(top_i >= 0, top_s, NEG_INF)
+
+
+@functools.partial(jax.jit, static_argnames=("m",))
+def _top_m(cand_ids, cand_scores, m: int):
+    top_s, pos = jax.lax.top_k(cand_scores, min(m, cand_scores.shape[1]))
+    top_i = jnp.take_along_axis(cand_ids, pos, axis=1)
     top_i = jnp.where(top_s > NEG_INF / 2, top_i, -1)
     return top_i, jnp.where(top_i >= 0, top_s, NEG_INF)
 
@@ -258,9 +272,9 @@ class HNSWIndex:
         ids = self.store.add(x)
         self._sync_capacity()
         w = len(ids)
-        # pad the *search-side* arrays to a fixed wave width so every wave
-        # hits the same compiled kernels (padded rows are ignored on write)
-        wp = p.wave_size
+        # pad the *search-side* arrays to a power-of-two wave width so waves
+        # hit a bounded set of compiled kernels (padded rows ignored on write)
+        wp = max(64, 1 << int(np.ceil(np.log2(w))))
         pad_ids = (
             np.concatenate([ids, np.full(wp - w, ids[-1], ids.dtype)])
             if w < wp
@@ -314,9 +328,19 @@ class HNSWIndex:
             else:
                 cl_ids = jnp.full((wp, p.ef_construction), -1, jnp.int32)
                 cl_scores = jnp.full((wp, p.ef_construction), NEG_INF)
-            fwd_ids, fwd_d = _select_forward(
-                cl_ids, cl_scores, wavemat, ids32, levels_dev >= l, m_l
+            merged_ids, merged_scores = _merge_candidates(
+                cl_ids, cl_scores, wavemat, ids32, levels_dev >= l, 2 * m_l
             )
+            if p.neighbor_selection == "heuristic":
+                pair = HK.pairwise_scores(
+                    self.store.metric, self._kind(), self.store.dim_pad,
+                    merged_ids, self.store._arrays,
+                )
+                fwd_ids, fwd_d = HK.select_diverse(
+                    merged_ids, merged_scores, pair, m_l
+                )
+            else:
+                fwd_ids, fwd_d = _top_m(merged_ids, merged_scores, m_l)
             # keep only rows for wave nodes that exist at this level
             member = np.where(lv >= l)[0]
             if len(member) == 0:
@@ -346,6 +370,80 @@ class HNSWIndex:
             self.entry = int(ids[wave_best])
             self.entry_level = int(lv[wave_best])
         return ids
+
+    def refine(self) -> None:
+        """One NN-descent-style refinement pass: re-search candidates for
+        every node against the *finished* graph and rebuild its forward
+        edges (back edges merged keep-m-closest). Wave construction builds
+        each wave against a graph snapshot; one refinement pass recovers
+        most of the recall gap to sequential insertion at ~1x build cost."""
+        p = self.params
+        n = self.n
+        if n == 0 or self.entry < 0:
+            return
+        for start in range(0, n, p.wave_size):
+            ids = np.arange(start, min(start + p.wave_size, n), dtype=np.int64)
+            w = len(ids)
+            wp = max(64, 1 << int(np.ceil(np.log2(w))))
+            pad_ids = (
+                np.concatenate([ids, np.full(wp - w, ids[-1], ids.dtype)])
+                if w < wp
+                else ids
+            )
+            ids32 = jnp.asarray(pad_ids, jnp.int32)
+            q = self.store.gather_as_queries(ids32)
+            lv = self.levels[ids]
+            max_lv = int(lv.max()) if w else 0
+            c_ids, c_scores, per_level = self._search_levels(
+                q, wp, p.ef_construction, p.ef_upper, record_from=max_lv
+            )
+            lv_padded = np.full(wp, -1, np.int32)
+            lv_padded[:w] = lv
+            for l in range(0, max_lv + 1):
+                m_l = (
+                    p.level_0_neighbors_count if l == 0 else p.neighbors_count
+                )
+                cl_ids, cl_scores = (
+                    (c_ids, c_scores) if l == 0 else per_level.get(
+                        l,
+                        (
+                            jnp.full((wp, p.ef_construction), -1, jnp.int32),
+                            jnp.full((wp, p.ef_construction), NEG_INF),
+                        ),
+                    )
+                )
+                # drop self-matches (the node is in the graph it searched)
+                self_mask = cl_ids == ids32[:, None]
+                cl_ids = jnp.where(self_mask, -1, cl_ids)
+                cl_scores = jnp.where(self_mask, NEG_INF, cl_scores)
+                merged_ids, merged_scores = _top_m(cl_ids, cl_scores, 2 * m_l)
+                if p.neighbor_selection == "heuristic":
+                    pair = HK.pairwise_scores(
+                        self.store.metric, self._kind(), self.store.dim_pad,
+                        merged_ids, self.store._arrays,
+                    )
+                    fwd_ids, fwd_d = HK.select_diverse(
+                        merged_ids, merged_scores, pair, m_l
+                    )
+                else:
+                    fwd_ids, fwd_d = _top_m(merged_ids, merged_scores, m_l)
+                member = np.where(lv >= l)[0]
+                if len(member) == 0:
+                    continue
+                mem_j = jnp.asarray(member)
+                rows_fwd = fwd_ids[mem_j]
+                dist_fwd = fwd_d[mem_j]
+                if l == 0:
+                    self.adj0 = self.adj0.at[ids32[mem_j]].set(rows_fwd)
+                    self.adj0_d = self.adj0_d.at[ids32[mem_j]].set(dist_fwd)
+                else:
+                    up_slot_host = np.asarray(self.up_slot)
+                    slots = jnp.asarray(up_slot_host[ids[member]])
+                    self.up_adj = self.up_adj.at[slots, l - 1].set(rows_fwd)
+                    self.up_d = self.up_d.at[slots, l - 1].set(dist_fwd)
+                self._apply_back_edges(
+                    l, m_l, ids[member], np.asarray(rows_fwd), np.asarray(dist_fwd)
+                )
 
     def _apply_back_edges(self, level: int, m_l: int, src, f_ids, f_d):
         """Group forward edges by target and run the keep-m-closest merge."""
@@ -403,7 +501,27 @@ class HNSWIndex:
         ef: int | None = None,
         rerank: bool = True,
     ) -> tuple[np.ndarray, np.ndarray]:
-        """Batched ANN search. Returns (ids (B, k), scores (B, k)); id -1 pads.
+        """Batched ANN search. Returns (ids (B, k), scores (B, k)); id -1 pads."""
+        out = self.search_device(queries, top_k, ef, rerank)
+        if out is None:
+            b = len(np.atleast_2d(queries))
+            return (
+                np.full((b, top_k), -1, np.int64),
+                np.full((b, top_k), -np.inf, np.float32),
+            )
+        ids, scores = out
+        return np.asarray(ids, np.int64), np.asarray(scores)
+
+    def search_device(
+        self,
+        queries: np.ndarray,
+        top_k: int = 10,
+        ef: int | None = None,
+        rerank: bool = True,
+    ):
+        """Like :meth:`search` but returns device arrays without host sync
+        (lets a sharded composition overlap dispatches across devices), or
+        None for an empty index.
 
         Mirrors search_internal + finalize_ann_results
         (indexes/hnsw/mod.rs:390-441, vector_store.rs:404-445): beam search
@@ -412,10 +530,7 @@ class HNSWIndex:
         queries = np.atleast_2d(np.asarray(queries, np.float32))
         b = len(queries)
         if self.n == 0 or self.entry < 0:
-            return (
-                np.full((b, top_k), -1, np.int64),
-                np.full((b, top_k), -np.inf, np.float32),
-            )
+            return None
         p = self.params
         ef = int(ef or p.ef_search)
         ef = max(ef, top_k)
@@ -438,7 +553,7 @@ class HNSWIndex:
         top_s, pos = jax.lax.top_k(scores, top_k)
         top_i = jnp.take_along_axis(ids, pos, axis=1)
         top_i = jnp.where(top_s > NEG_INF / 2, top_i, -1)
-        return np.asarray(top_i, np.int64), np.asarray(top_s)
+        return top_i, top_s
 
     def search_brute(
         self,

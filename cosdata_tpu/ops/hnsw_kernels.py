@@ -168,6 +168,116 @@ def merge_neighbors(
     return adj_table, dist_table
 
 
+@functools.partial(jax.jit, static_argnames=("metric", "kind", "d", "chunk"))
+def pairwise_scores(
+    metric: str, kind: str, d: int, ids: jax.Array, store, chunk: int = 256
+):
+    """(W, C, C) similarity among candidate ids per row: gather each row's
+    candidate vectors once and contract them against themselves on the MXU.
+    W-chunked so the gather footprint stays ~chunk*C*D bytes. Used by the
+    diversity pruning heuristic."""
+    from cosdata_tpu.ops import quantize as Q
+
+    w, c = ids.shape
+    pad = (-w) % chunk
+    ids_p = jnp.pad(ids, ((0, pad), (0, 0)), constant_values=-1)
+
+    def one_chunk(ids_c):
+        safe = jnp.maximum(ids_c, 0)
+        if kind == "u8":
+            g = store.data[safe]  # (chunk, C, D) int8
+            sums = store.sums[safe].astype(jnp.float32)
+            cc = jnp.einsum(
+                "wcd,wed->wce", g, g, preferred_element_type=jnp.int32
+            ).astype(jnp.float32)
+            code_dot = (
+                cc + 128.0 * (sums[:, :, None] + sums[:, None, :]) + d * 128.0 * 128.0
+            )
+            dot = (
+                store.a * store.a * code_dot
+                + store.a * store.b * (
+                    (sums + 128.0 * d)[:, :, None] + (sums + 128.0 * d)[:, None, :]
+                )
+                + store.b * store.b * store.dtrue
+            )
+            mags = store.mags[safe]
+        elif kind == "subbyte":
+            res = store.planes.shape[0]
+            g = None
+            for p in range(res):
+                words = store.planes[p][safe]
+                ch, cn, wd = words.shape
+                bits = Q.unpack_bits_from_u32(words.reshape(ch * cn, wd), d)
+                contrib = bits.reshape(ch, cn, d).astype(jnp.int8) << (res - 1 - p)
+                g = contrib if g is None else g + contrib
+            sums = store.sums[safe].astype(jnp.float32)
+            code_dot = jnp.einsum(
+                "wcd,wed->wce", g, g, preferred_element_type=jnp.int32
+            ).astype(jnp.float32)
+            dot = (
+                store.a * store.a * code_dot
+                + store.a * store.b * (sums[:, :, None] + sums[:, None, :])
+                + store.b * store.b * store.dtrue
+            )
+            mags = store.mags[safe]
+        else:
+            g = store.data[safe].astype(jnp.float32)
+            dot = jnp.einsum("wcd,wed->wce", g, g)
+            mags = store.mags[safe]
+        if metric == "dot":
+            return dot
+        if metric == "cosine":
+            den = mags[:, :, None] * mags[:, None, :]
+            return jnp.where(den > 1e-30, dot / jnp.maximum(den, 1e-30), 0.0)
+        # euclidean (negated similarity)
+        d2 = mags[:, :, None] ** 2 + mags[:, None, :] ** 2 - 2.0 * dot
+        return -jnp.sqrt(jnp.maximum(d2, 0.0))
+
+    out = jax.lax.map(one_chunk, ids_p.reshape(-1, chunk, c))
+    return out.reshape(-1, c, c)[:w]
+
+
+@functools.partial(jax.jit, static_argnames=("m",))
+def select_diverse(
+    cand_ids: jax.Array,  # (W, C) desc-sorted by score, -1 padded
+    cand_scores: jax.Array,  # (W, C) similarity to the query/new node
+    pair: jax.Array,  # (W, C, C) candidate-candidate similarity
+    m: int,
+):
+    """HNSW neighbor-selection heuristic (Algorithm 4 of the HNSW paper),
+    batched: scan candidates best-first, keep c only if it is closer to the
+    query than to every already-kept neighbor; backfill with the best pruned
+    candidates (keepPrunedConnections). The reference uses plain
+    keep-m-closest (prob_node.rs:210-283); diversity pruning strictly
+    improves navigability at the same degree."""
+    w, c = cand_ids.shape
+
+    def body(keep, j):
+        # closest kept-neighbor similarity for candidate j
+        sim_kept = jnp.where(keep, pair[:, j, :], NEG_INF)
+        max_kept = jnp.max(sim_kept, axis=1)
+        n_kept = jnp.sum(keep, axis=1)
+        ok = (
+            (cand_ids[:, j] >= 0)
+            & (cand_scores[:, j] > max_kept)
+            & (n_kept < m)
+        )
+        keep = keep.at[:, j].set(ok)
+        return keep, None
+
+    keep = jnp.zeros((w, c), bool)
+    keep, _ = jax.lax.scan(body, keep, jnp.arange(c))
+    # kept first, then best pruned, all in score order
+    priority = jnp.where(keep, cand_scores + 1e9, cand_scores)
+    priority = jnp.where(cand_ids >= 0, priority, NEG_INF)
+    top_p, pos = jax.lax.top_k(priority, m)
+    out_ids = jnp.take_along_axis(cand_ids, pos, axis=1)
+    out_scores = jnp.take_along_axis(cand_scores, pos, axis=1)
+    out_ids = jnp.where(top_p > NEG_INF / 2, out_ids, -1)
+    out_scores = jnp.where(out_ids >= 0, out_scores, NEG_INF)
+    return out_ids, out_scores
+
+
 @functools.partial(jax.jit, static_argnames=("metric", "kind", "d", "causal"))
 def wave_scores(metric: str, kind: str, d: int, q_wave, wave_ids: jax.Array, store, causal: bool = True):
     """(W, W) intra-wave similarity with self (and optionally later nodes)

@@ -218,6 +218,20 @@ class VectorStore:
         return out[:, : self.dim]
 
 
+def _gather_queries(kind: str, store, ids: jax.Array):
+    """Gather store rows as a query pytree (jit-traceable version of
+    VectorStore.gather_as_queries)."""
+    if kind == "subbyte":
+        return store._replace(
+            planes=store.planes[:, ids], sums=store.sums[ids], mags=store.mags[ids]
+        )
+    if kind == "u8":
+        return store._replace(
+            data=store.data[ids], sums=store.sums[ids], mags=store.mags[ids]
+        )
+    return store._replace(data=store.data[ids], mags=store.mags[ids])
+
+
 @functools.partial(jax.jit, static_argnames=("kind",), donate_argnums=(0,))
 def _write_rows(store, batch, offset: int, kind: str):
     if kind == "subbyte":

@@ -1,0 +1,125 @@
+"""Data-parallel HNSW across devices (the DEEP-100M configuration,
+SURVEY.md §7 step 10).
+
+Each device owns an independent HNSW sub-graph over its shard of the
+vectors (arrays committed to that device via jax.default_device). Inserts
+round-robin across shards; queries fan out to every shard — dispatches are
+asynchronous, so per-shard beam searches overlap across devices — and the
+per-shard top-k lists merge on host into global ids.
+
+This is the shard-parallel plan the reference runs with rayon threads
+(indexes/mod.rs:260-272) lifted to whole accelerators; the flat sharded
+path in parallel/sharded.py covers the shard_map/psum formulation for
+brute-force scoring.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+
+from cosdata_tpu.indexes.hnsw import HNSWIndex, HNSWParams
+
+
+class ShardedHNSWIndex:
+    def __init__(
+        self,
+        dim: int,
+        devices: list | None = None,
+        n_shards: int | None = None,
+        metric: str = "cosine",
+        kind: str = "u8",
+        resolution: int = 2,
+        range_: tuple[float, float] = (-1.0, 1.0),
+        params: HNSWParams | None = None,
+        seed: int = 0,
+        initial_capacity_per_shard: int = 1024,
+    ):
+        devices = devices or jax.devices()
+        if n_shards is not None:
+            devices = (devices * n_shards)[:n_shards]
+        self.devices = devices
+        self.shards: list[HNSWIndex] = []
+        for i, dev in enumerate(devices):
+            with jax.default_device(dev):
+                self.shards.append(
+                    HNSWIndex(
+                        dim=dim,
+                        metric=metric,
+                        kind=kind,
+                        resolution=resolution,
+                        range_=range_,
+                        params=params,
+                        seed=seed + i,
+                        initial_capacity=initial_capacity_per_shard,
+                    )
+                )
+        # per-shard local row -> global id
+        self._global_of: list[list[int]] = [[] for _ in devices]
+        self.n = 0
+
+    def add(self, x: np.ndarray) -> np.ndarray:
+        """Round-robin block insert; returns global ids."""
+        x = np.atleast_2d(np.asarray(x, np.float32))
+        n_sh = len(self.shards)
+        gids = np.arange(self.n, self.n + len(x), dtype=np.int64)
+        # balanced contiguous blocks per shard for this batch
+        splits = np.array_split(np.arange(len(x)), n_sh)
+        for s, part in enumerate(splits):
+            if len(part) == 0:
+                continue
+            with jax.default_device(self.devices[s]):
+                self.shards[s].add(x[part])
+            self._global_of[s].extend(gids[part].tolist())
+        self.n += len(x)
+        return gids
+
+    def search(self, queries: np.ndarray, top_k: int = 10, ef: int | None = None):
+        """Fan out to all shards (async dispatch), merge global top-k."""
+        queries = np.atleast_2d(np.asarray(queries, np.float32))
+        b = len(queries)
+        pending = []
+        for s, shard in enumerate(self.shards):
+            if shard.n == 0:
+                continue
+            with jax.default_device(self.devices[s]):
+                out = shard.search_device(queries, top_k=top_k, ef=ef)
+            if out is not None:
+                pending.append((s, out))
+        if not pending:
+            return (
+                np.full((b, top_k), -1, np.int64),
+                np.full((b, top_k), -np.inf, np.float32),
+            )
+        all_ids, all_scores = [], []
+        for s, (ids_dev, scores_dev) in pending:
+            ids = np.asarray(ids_dev, np.int64)
+            scores = np.asarray(scores_dev, np.float32)
+            gmap = np.asarray(self._global_of[s], np.int64)
+            ok = ids >= 0
+            gids = np.full_like(ids, -1)
+            gids[ok] = gmap[ids[ok]]
+            all_ids.append(gids)
+            all_scores.append(np.where(ok, scores, -np.inf))
+        cat_ids = np.concatenate(all_ids, axis=1)
+        cat_scores = np.concatenate(all_scores, axis=1)
+        order = np.argsort(-cat_scores, axis=1)[:, :top_k]
+        out_ids = np.take_along_axis(cat_ids, order, axis=1)
+        out_scores = np.take_along_axis(cat_scores, order, axis=1)
+        return out_ids, out_scores
+
+    def refine(self) -> None:
+        for s, shard in enumerate(self.shards):
+            with jax.default_device(self.devices[s]):
+                shard.refine()
+
+    def delete(self, global_id: int) -> None:
+        for s, gmap in enumerate(self._global_of):
+            # ids are block-round-robin; linear probe per shard map
+            try:
+                row = gmap.index(int(global_id))
+            except ValueError:
+                continue
+            self.shards[s].delete(row)
+            return

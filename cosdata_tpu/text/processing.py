@@ -33,6 +33,70 @@ _TOKEN_RE = re.compile(r"\w+", re.UNICODE)
 
 _stemmer = SnowballStemmer("english")
 
+# Native (C++) fast path for pure-ASCII documents: tokenize + Snowball stem +
+# xxhash32 + BM25 tf in one call (csrc/text_pipeline.cpp). Differentially
+# tested bit-identical to the Python path (tests/test_native_text.py).
+_native = None
+try:
+    import ctypes as _ctypes
+    from pathlib import Path as _Path
+
+    _lib_path = _Path(__file__).with_name("_native.so")
+    if _lib_path.exists():
+        _native = _ctypes.CDLL(str(_lib_path))
+        _native.tp_process_text.restype = _ctypes.c_int
+        _native.tp_process_text.argtypes = [
+            _ctypes.c_char_p, _ctypes.c_int, _ctypes.c_float, _ctypes.c_float,
+            _ctypes.c_float, _ctypes.POINTER(_ctypes.c_uint32),
+            _ctypes.POINTER(_ctypes.c_float), _ctypes.c_int,
+            _ctypes.POINTER(_ctypes.c_int),
+        ]
+except Exception:  # pragma: no cover - fall back to Python silently
+    _native = None
+
+
+def _native_process_text(text, max_token_len, avg_doc_len, k1, b):
+    """Returns [(hash, tf)] or None if the native path can't handle it."""
+    if _native is None:
+        return None
+    try:
+        data = text.encode("ascii")
+    except UnicodeEncodeError:
+        return None
+    import ctypes
+
+    buf = _native_buffers()
+    hashes, tfs, doc_len, cap = buf
+    n = _native.tp_process_text(
+        data, max_token_len, avg_doc_len, k1, b, hashes, tfs, cap,
+        ctypes.byref(doc_len),
+    )
+    if n < 0:
+        return None
+    return [(hashes[i], tfs[i]) for i in range(n)]
+
+
+_tls = None
+
+
+def _native_buffers():
+    """Per-thread reusable output buffers (allocation dominates short docs)."""
+    global _tls
+    import ctypes
+    import threading
+
+    if _tls is None:
+        _tls = threading.local()
+    if not hasattr(_tls, "buf"):
+        cap = 65536
+        _tls.buf = (
+            (ctypes.c_uint32 * cap)(),
+            (ctypes.c_float * cap)(),
+            ctypes.c_int(0),
+            cap,
+        )
+    return _tls.buf
+
 
 def tokenize(text: str) -> list[str]:
     return _TOKEN_RE.findall(text)
@@ -84,6 +148,9 @@ def process_text(
     b: float = 0.75,
 ) -> list[tuple[int, float]]:
     """Document → [(term_hash u32, bm25_tf f32)] (mod.rs:310-360)."""
+    native = _native_process_text(text, max_token_len, avg_doc_len, k1, b)
+    if native is not None:
+        return native
     doc_len = count_tokens(text, max_token_len)
     freq = _term_counts(text, max_token_len)
     return [

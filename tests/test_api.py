@@ -327,3 +327,23 @@ class TestSmoke:
         body = await resp.json()
         assert body["openapi"].startswith("3.")
         assert "/vectordb/collections" in body["paths"]
+
+
+class TestHead:
+    @async_test
+    async def test_head_vector(self, client):
+        h = await _login(client)
+        await client.post(
+            "/vectordb/collections",
+            json={"name": "hd", "dense_vector": {"enabled": True, "dimension": 4}},
+            headers=h,
+        )
+        await client.post(
+            "/vectordb/collections/hd/streaming/upsert",
+            json={"vectors": [{"id": "a", "dense_values": [0.1, 0.2, 0.3, 0.4]}]},
+            headers=h,
+        )
+        resp = await client.head("/vectordb/collections/hd/vectors/a", headers=h)
+        assert resp.status == 200
+        resp = await client.head("/vectordb/collections/hd/vectors/zz", headers=h)
+        assert resp.status == 404

@@ -90,3 +90,47 @@ class TestHNSW:
         idx = HNSWIndex(dim=16, kind="f32", params=HNSWParams(**SMALL))
         ids, scores = idx.search(np.zeros((2, 16), np.float32), top_k=3)
         assert (ids == -1).all()
+
+
+class TestFlatScan:
+    def test_chunked_scan_matches_direct(self):
+        # force the chunked path with a small threshold
+        from cosdata_tpu.indexes.flat import FlatIndex
+
+        old_thresh, old_chunk = FlatIndex.SCAN_THRESHOLD, FlatIndex.SCAN_CHUNK
+        FlatIndex.SCAN_THRESHOLD, FlatIndex.SCAN_CHUNK = 256, 128
+        try:
+            x = _unit(700, 64, 9)
+            q = _unit(5, 64, 10)
+            idx = FlatIndex(dim=64, kind="u8", range_=(-0.3, 0.3),
+                            initial_capacity=1024)
+            idx.add(x)
+            idx.delete(3)
+            ids_scan, vals_scan = idx.search(q, top_k=7)
+            FlatIndex.SCAN_THRESHOLD = 1 << 30  # direct path
+            ids_dir, vals_dir = idx.search(q, top_k=7)
+            # accumulation order differs between the chunked and direct
+            # paths -> f32 noise; compare id sets and values loosely
+            for a, b in zip(ids_scan, ids_dir):
+                assert set(a) == set(b)
+            np.testing.assert_allclose(
+                np.sort(vals_scan), np.sort(vals_dir), rtol=1e-4, atol=1e-5
+            )
+        finally:
+            FlatIndex.SCAN_THRESHOLD, FlatIndex.SCAN_CHUNK = old_thresh, old_chunk
+
+    def test_scan_with_rerank(self):
+        from cosdata_tpu.indexes.flat import FlatIndex
+
+        old_thresh, old_chunk = FlatIndex.SCAN_THRESHOLD, FlatIndex.SCAN_CHUNK
+        FlatIndex.SCAN_THRESHOLD, FlatIndex.SCAN_CHUNK = 256, 128
+        try:
+            x = _unit(600, 32, 11)
+            idx = FlatIndex(dim=32, kind="u8", range_=(-0.3, 0.3),
+                            initial_capacity=1024)
+            idx.add(x)
+            ids, scores = idx.search(x[:4], top_k=1, rerank=True)
+            np.testing.assert_array_equal(ids[:, 0], np.arange(4))
+            np.testing.assert_allclose(scores[:, 0], 1.0, rtol=1e-4)
+        finally:
+            FlatIndex.SCAN_THRESHOLD, FlatIndex.SCAN_CHUNK = old_thresh, old_chunk

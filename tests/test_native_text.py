@@ -1,0 +1,80 @@
+"""Native (C++) text pipeline: bit-parity with the Python path + speed."""
+
+import time
+
+import numpy as np
+import pytest
+
+from cosdata_tpu.text import processing as P
+
+
+needs_native = pytest.mark.skipif(
+    P._native is None, reason="native text pipeline not built (csrc/Makefile)"
+)
+
+
+DOCS = [
+    "The quick brown fox jumps over the lazy dog",
+    "generalization of internationalization strategies",
+    "running runs runner ran; dying lying tying skies skis",
+    "a_token_with_underscores and numbers like 42 or x86_64",
+    "conditional rationalization of sensational electrical traditions",
+    "'quoted' words and trailing apostrophes' here",
+]
+
+
+@needs_native
+class TestNativeParity:
+    def test_process_text_identical(self):
+        for doc in DOCS:
+            native = P._native_process_text(doc, 40, 7.0, 1.2, 0.75)
+            assert native is not None
+            doc_len = P.count_tokens(doc, 40)
+            freq = P._term_counts(doc, 40)
+            expect = {
+                h: P.compute_bm25_tf(c, doc_len, 7.0, 1.2, 0.75)
+                for h, c in freq.items()
+            }
+            got = dict(native)
+            assert set(got) == set(expect), doc
+            for h in got:
+                np.testing.assert_allclose(got[h], expect[h], rtol=1e-6)
+
+    def test_non_ascii_falls_back(self):
+        assert P._native_process_text("héllo wörld", 40, 5.0, 1.2, 0.75) is None
+        # the public API still works via the Python path
+        out = P.process_text("héllo wörld", 40, 5.0, 1.2, 0.75)
+        assert len(out) == 2
+
+    def test_stemmer_parity_fuzz(self):
+        import ctypes
+        import random
+
+        from nltk.stem.snowball import SnowballStemmer
+
+        st = SnowballStemmer("english")
+        buf = ctypes.create_string_buffer(256)
+        P._native.tp_stem.restype = ctypes.c_int
+        rng = random.Random(42)
+        for _ in range(3000):
+            w = "".join(
+                rng.choice("abcdefghijklmnopqrstuvwxyz'")
+                for _ in range(rng.randint(3, 14))
+            )
+            n = P._native.tp_stem(w.encode(), buf, 256)
+            if n < 0:
+                continue
+            assert buf.value.decode() == st.stem(w), w
+
+    def test_native_is_faster(self):
+        doc = " ".join(DOCS) * 20
+        t0 = time.time()
+        for _ in range(50):
+            P._native_process_text(doc, 40, 7.0, 1.2, 0.75)
+        native_t = time.time() - t0
+        t0 = time.time()
+        for _ in range(50):
+            doc_len = P.count_tokens(doc, 40)
+            P._term_counts(doc, 40)
+        python_t = time.time() - t0
+        assert native_t < python_t, (native_t, python_t)

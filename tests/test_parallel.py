@@ -59,3 +59,50 @@ class TestShardedFlat:
         idx.add(x)
         ids, _ = idx.search(x[:4], top_k=1)
         np.testing.assert_array_equal(ids[:, 0], np.arange(4))
+
+
+class TestShardedHNSW:
+    def test_matches_unsharded_recall(self, mesh):
+        from cosdata_tpu.parallel.sharded_hnsw import ShardedHNSWIndex
+        from cosdata_tpu.indexes.flat import FlatIndex
+        import jax
+
+        d, n, nq, k = 64, 2000, 16, 10
+        x = _unit(n, d, 5)
+        q = _unit(nq, d, 6)
+        flat = FlatIndex(dim=d, kind="f32")
+        flat.add(x)
+        true_ids, _ = flat.search(q, top_k=k)
+
+        idx = ShardedHNSWIndex(
+            dim=d, devices=jax.devices()[:4], kind="f32",
+            params=__import__("cosdata_tpu.indexes.hnsw", fromlist=["HNSWParams"]).HNSWParams(
+                num_layers=3, wave_size=256, ef_construction=64, ef_search=96,
+                max_iters=64,
+            ),
+            initial_capacity_per_shard=1024,
+        )
+        idx.add(x)
+        got, _ = idx.search(q, top_k=k)
+        hits = sum(len(set(map(int, t)) & set(map(int, g))) for t, g in zip(true_ids, got))
+        r = hits / (nq * k)
+        assert r >= 0.9, r
+
+    def test_global_id_mapping_and_delete(self, mesh):
+        from cosdata_tpu.parallel.sharded_hnsw import ShardedHNSWIndex
+        from cosdata_tpu.indexes.hnsw import HNSWParams
+        import jax
+
+        d = 32
+        x = _unit(200, d, 7)
+        idx = ShardedHNSWIndex(
+            dim=d, devices=jax.devices()[:2], kind="f32",
+            params=HNSWParams(num_layers=2, wave_size=64, max_iters=32),
+        )
+        gids = idx.add(x)
+        assert list(gids[:3]) == [0, 1, 2]
+        ids, _ = idx.search(x[:8], top_k=1)
+        assert (ids[:, 0] == np.arange(8)).mean() >= 0.9
+        idx.delete(5)
+        ids, _ = idx.search(x[5], top_k=5)
+        assert 5 not in ids[0]

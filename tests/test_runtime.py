@@ -247,3 +247,42 @@ class TestStreamingAndHybrid:
         versions = coll.vcs.list_versions()
         assert [v["version"] for v in versions] == [0, 1, 2, 3]
         assert coll.vcs.current_version == 3
+
+
+class TestCollectionCache:
+    def test_unload_and_lazy_reload(self, tmp_path):
+        ctx = _ctx(tmp_path)
+        coll = _mk_collection(ctx, "uc")
+        coll.create_dense_index(quantization={"type": "scalar", "data_type": "f32"},
+                                hnsw_params={"wave_size": 32, "num_layers": 2})
+        ctx._persist_index_descriptors(coll)
+        x = _unit(20, 32, 8)
+        coll.stream_upsert(
+            [{"id": i, "dense_values": x[i].tolist()} for i in range(20)]
+        )
+        coll.close_epoch()  # snapshot
+        ctx.unload_collection("uc")
+        assert "uc" not in ctx.collections
+        # lazy reload on access
+        coll2 = ctx.get_collection("uc")
+        assert coll2 is not None
+        res = coll2.search_dense([x[4].tolist()], top_k=1)
+        assert res[0][0]["id"] == 4
+
+    def test_eviction_cap(self, tmp_path):
+        ctx = _ctx(tmp_path)
+        ctx.max_loaded_collections = 2
+        for i in range(4):
+            _mk_collection(ctx, f"e{i}")
+        assert len(ctx.collections) <= 2
+        # all still retrievable (lazy reload)
+        for i in range(4):
+            assert ctx.get_collection(f"e{i}") is not None
+
+    def test_delete_unloaded(self, tmp_path):
+        ctx = _ctx(tmp_path)
+        _mk_collection(ctx, "du")
+        ctx.unload_collection("du")
+        ctx.delete_collection("du")
+        with pytest.raises(KeyError):
+            ctx.unload_collection("du")
