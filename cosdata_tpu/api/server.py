@@ -164,6 +164,7 @@ class Server:
         r.add_get(ver + "/current", self.current_version)
 
         r.add_get("/api-docs/openapi.json", self.openapi)
+        r.add_get("/metrics", self.metrics)
 
     # ---------------------------------------------------------------- auth
 
@@ -542,6 +543,11 @@ class Server:
 
     # ----------------------------------------------------------------- docs
 
+    async def metrics(self, request):
+        from cosdata_tpu.utils.profiling import profiler
+
+        return web.json_response({"timers": profiler.snapshot()})
+
     async def openapi(self, request):
         from cosdata_tpu.api.openapi import build_openapi
 
@@ -561,4 +567,18 @@ def make_app(ctx: AppContext) -> web.Application:
 
 def run_server(ctx: AppContext):
     app = make_app(ctx)
-    web.run_app(app, host=ctx.config.server.host, port=ctx.config.server.port)
+    ssl_ctx = None
+    if ctx.config.server.mode == "https":
+        # rustls-equivalent TLS termination (web_server.rs:92-126)
+        import ssl
+
+        ssl_ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+        ssl_ctx.load_cert_chain(
+            ctx.config.server.ssl.cert_file, ctx.config.server.ssl.key_file
+        )
+    web.run_app(
+        app,
+        host=ctx.config.server.host,
+        port=ctx.config.server.port,
+        ssl_context=ssl_ctx,
+    )

@@ -9,10 +9,21 @@ from pathlib import Path
 
 
 @dataclass
+class SslConfig:
+    cert_file: str = ""
+    key_file: str = ""
+
+
+@dataclass
 class ServerConfig:
     host: str = "127.0.0.1"
     port: int = 8443
-    mode: str = "http"
+    mode: str = "http"  # "http" or "https" (config.toml:14)
+    ssl: SslConfig = None  # type: ignore[assignment]
+
+    def __post_init__(self):
+        if self.ssl is None:
+            self.ssl = SslConfig()
 
 
 @dataclass

@@ -41,7 +41,41 @@ class AppContext:
             raise PermissionError("admin key does not match stored hash")
         self.admin_key = admin_key
 
+        # users map (types.rs:1323-1404 / :1557-1579): admin user registered
+        if self.meta.get("users", "admin") is None:
+            self.meta.put(
+                "users", "admin", {"username": "admin", "key_hash": digest}
+            )
+
         self._load_collections()
+        self._start_epoch_timer()
+
+    def _start_epoch_timer(self):
+        """Per-epoch implicit-transaction close (collection.rs:264-278; the
+        reference spawns a per-collection epoch thread, epoch_length=3600s)."""
+        import threading
+        import time
+
+        interval = min(self.config.epoch_length / 4, 60.0)
+
+        def tick():
+            for coll in list(self.collections.values()):
+                try:
+                    if (
+                        coll.implicit is not None
+                        and time.time() - coll.implicit.created_at
+                        >= self.config.epoch_length
+                    ):
+                        coll.close_epoch()
+                except Exception:  # pragma: no cover
+                    pass
+            t = threading.Timer(interval, tick)
+            t.daemon = True
+            t.start()
+
+        t = threading.Timer(interval, tick)
+        t.daemon = True
+        t.start()
 
     # ------------------------------------------------------------- lifecycle
 
@@ -53,6 +87,7 @@ class AppContext:
         """
         for _, cfg in self.meta.items("collections"):
             coll = Collection(self.meta, self.data_dir, cfg)
+            coll.app_config = self.config
             self._restore_indexes(coll, cfg)
             for version in coll.vcs.unindexed_versions():
                 self.indexing.index_version_on_restart(coll, version)
@@ -101,6 +136,7 @@ class AppContext:
             if name in self.collections or self.meta.get("collections", name):
                 raise ValueError(f"collection {name} already exists")
             coll = Collection(self.meta, self.data_dir, cfg)
+            coll.app_config = self.config
             self.collections[name] = coll
             self.meta.put("collections", name, cfg)
             self._maybe_evict(keep=name)
@@ -132,6 +168,7 @@ class AppContext:
             if cfg is None:
                 raise KeyError(f"collection '{name}' not found")
             coll = Collection(self.meta, self.data_dir, cfg)
+            coll.app_config = self.config
             self._restore_indexes(coll, cfg)
             for version in coll.vcs.unindexed_versions():
                 self.indexing.index_version_on_restart(coll, version)

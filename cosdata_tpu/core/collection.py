@@ -253,6 +253,7 @@ class Collection:
 
         self.vcs = VersionControl(meta, self.name)
         self.lock = threading.RLock()
+        self.app_config = None  # set by AppContext (rerank knobs etc.)
 
         # id maps (the reference's etoi/itoe/dtoi TreeMaps, collection.rs:149-164)
         self.etoi: dict = {}
@@ -469,7 +470,9 @@ class Collection:
     def index_embeddings(self, vectors: list[dict]) -> None:
         """Assign internal ids, update maps, fan out to indexes
         (collection.rs:439-533)."""
-        with self.lock:
+        from cosdata_tpu.utils.profiling import profiler
+
+        with self.lock, profiler.timer("index.embeddings"):
             dense_batch: list[tuple[int, list[float], dict | None]] = []
             for v in vectors:
                 ext = v["id"]
@@ -602,6 +605,14 @@ class Collection:
 
     def search_dense(self, query_vectors, top_k=10, return_raw_text=False,
                      filter_dto=None):
+        from cosdata_tpu.utils.profiling import profiler
+
+        with profiler.timer("search.dense"):
+            return self._search_dense(query_vectors, top_k, return_raw_text,
+                                      filter_dto)
+
+    def _search_dense(self, query_vectors, top_k=10, return_raw_text=False,
+                      filter_dto=None):
         row_mask = None
         if filter_dto is not None:
             if self.schema is None:
@@ -618,16 +629,20 @@ class Collection:
 
     def search_sparse(self, query_terms_list, top_k=10, early_terminate_threshold=None,
                       return_raw_text=False):
+        # rerank_sparse_with_raw_values / reranking factor (config.toml:5-6)
+        rerank = bool(getattr(self.app_config, "rerank_sparse_with_raw_values", False))
+        factor = int(getattr(self.app_config, "sparse_raw_values_reranking_factor", 5))
+        kwargs = dict(top_k=top_k, rerank=rerank, rerank_factor=factor)
         if early_terminate_threshold is not None:
             # per-request override (dtos.rs:44)
             old = self.sparse.early_terminate_threshold
             self.sparse.early_terminate_threshold = early_terminate_threshold
             try:
-                ids, scores = self.sparse.search(query_terms_list, top_k=top_k)
+                ids, scores = self.sparse.search(query_terms_list, **kwargs)
             finally:
                 self.sparse.early_terminate_threshold = old
         else:
-            ids, scores = self.sparse.search(query_terms_list, top_k=top_k)
+            ids, scores = self.sparse.search(query_terms_list, **kwargs)
         return self._format_results(ids, scores, return_raw_text)
 
     def search_tfidf(self, queries, top_k=10, return_raw_text=False):

