@@ -24,7 +24,7 @@ import numpy as np
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     hnsw_n = min(n, int(sys.argv[2]) if len(sys.argv) > 2 else 20_000)
-    d, nq, k = 768, 256, 10
+    d, nq, k = 768, 1024, 10
     # clustered synthetic corpus — the geometry of real embedding datasets
     # (SIFT1M/GloVe/Cohere are unavailable in this zero-egress image;
     # uniformly-random high-dim vectors are the known adversarial case for

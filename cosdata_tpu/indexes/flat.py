@@ -88,7 +88,8 @@ class FlatIndex:
                 do_rerank, q_raw, self.store.range[0], self.store.range[1],
                 self.store._arrays, raw, mask,
             )
-            return np.asarray(ids, np.int64), np.asarray(vals)
+            ids, vals = jax.device_get((ids, vals))  # one round trip
+            return ids.astype(np.int64), vals
         q = self.store.quantize_queries(queries)
         scores = self.store.scores_all(q)
         vals, ids = topk(scores, k_fetch, mask=mask[None, :])

@@ -100,6 +100,13 @@ class InvertedIndex:
         self._alive = np.ones(self.n_cap, bool)
         self._alive_dev = None
         self.n = 0  # max internal id + 1 seen
+        # device-resident CSR (built lazily at search/flush time)
+        self._csr_dirty = True
+        self._csr_ids = None  # (P,) int32 device
+        self._csr_vals = None  # (P,) f32 device (bucket values)
+        self._csr_range: dict[int, tuple[int, int]] = {}  # dim -> (start, len)
+        #: per-(query, dim) device gather segment width
+        self.SEGCAP = 512
 
     # ----------------------------------------------------------------- write
 
@@ -148,6 +155,7 @@ class InvertedIndex:
             p.invalidate()
         if self.keep_raw:
             self._raw[internal_id] = (dims, values)
+        self._csr_dirty = True
         if internal_id >= self.n:
             self.n = internal_id + 1
         if internal_id >= self.n_cap:
@@ -165,6 +173,48 @@ class InvertedIndex:
             self._raw.pop(int(internal_id), None)
 
     # ---------------------------------------------------------------- search
+
+    def _build_csr(self):
+        """Upload the postings as one flat device CSR (dims sorted-by-bucket,
+        concatenated). Rebuilt per indexed transaction, not per query."""
+        if not self._csr_dirty:
+            return
+        ids_parts, val_parts = [], []
+        self._csr_range = {}
+        pos = 0
+        for dim, p in self._postings.items():
+            p.ensure_sorted()
+            ids_parts.append(p.sorted_ids)
+            val_parts.append(p.sorted_buckets.astype(np.float32))
+            self._csr_range[dim] = (pos, len(p.sorted_ids))
+            pos += len(p.sorted_ids)
+        if pos == 0:
+            self._csr_ids = None
+            self._csr_dirty = False
+            return
+        self._csr_ids = jnp.asarray(np.concatenate(ids_parts).astype(np.int32))
+        self._csr_vals = jnp.asarray(np.concatenate(val_parts))
+        self._csr_dirty = False
+
+    def _query_segments(self, pairs) -> list[tuple[int, int, float]]:
+        """One query -> [(start, len, multiplier)] segment descriptors with
+        early termination applied; long dims split into SEGCAP segments."""
+        low_threshold = int(self.early_terminate_threshold * (1 << self.bits))
+        etv = min(int((1 << self.bits) * self.early_terminate_threshold), 255)
+        segs: list[tuple[int, int, float]] = []
+        for dim, value in sorted(pairs, key=lambda p: -p[1]):
+            rng = self._csr_range.get(int(dim))
+            if rng is None:
+                continue
+            start, length = rng
+            qqv = int(self.quantize(np.float32(value)))
+            if qqv <= low_threshold:
+                p = self._postings[int(dim)]
+                cut = int(np.searchsorted(-p.sorted_buckets, -etv, side="right"))
+                length = min(length, cut)
+            for off in range(0, length, self.SEGCAP):
+                segs.append((start + off, min(self.SEGCAP, length - off), float(qqv)))
+        return segs
 
     def _gather_query(self, pairs) -> tuple[np.ndarray, np.ndarray]:
         """One query -> (posting ids, contributions), early-termination applied."""
@@ -206,18 +256,28 @@ class InvertedIndex:
         if b == 0 or self.n == 0:
             return np.full((b, top_k), -1, np.int64), np.zeros((b, top_k), np.float32)
         self.flush()
-        gathered = [self._gather_query(q) for q in queries]
-        pad = max(_PAD_MIN, _next_pow2(max(len(g[0]) for g in gathered)))
-        ids = np.full((b, pad), -1, np.int32)
-        contrib = np.zeros((b, pad), np.float32)
-        for i, (gi, gc) in enumerate(gathered):
-            ids[i, : len(gi)] = gi
-            contrib[i, : len(gc)] = gc
+        self._build_csr()
+        if self._csr_ids is None:
+            return np.full((b, top_k), -1, np.int64), np.zeros((b, top_k), np.float32)
         if self._alive_dev is None:
             self._alive_dev = jnp.asarray(self._alive)
         k_fetch = min(top_k * (rerank_factor if rerank else 1), self.n_cap)
-        scores, out_ids = accumulate_topk(
-            jnp.asarray(ids), jnp.asarray(contrib), self._alive_dev, self.n_cap, k_fetch
+        seg_lists = [self._query_segments(q) for q in queries]
+        maxd = max(_PAD_MIN // 16, _next_pow2(max(len(s) for s in seg_lists)))
+        starts = np.full((b, maxd), -1, np.int32)
+        lens = np.zeros((b, maxd), np.int32)
+        mults = np.zeros((b, maxd), np.float32)
+        for i, segs in enumerate(seg_lists):
+            for j, (s, l, mlt) in enumerate(segs):
+                starts[i, j] = s
+                lens[i, j] = l
+                mults[i, j] = mlt
+        from cosdata_tpu.ops.sparse_kernels import csr_accumulate_topk
+
+        scores, out_ids = csr_accumulate_topk(
+            jnp.asarray(starts), jnp.asarray(lens), jnp.asarray(mults),
+            self._csr_ids, self._csr_vals, self._alive_dev,
+            self.n_cap, k_fetch, self.SEGCAP,
         )
         out_ids = np.asarray(out_ids, np.int64)
         scores = np.asarray(scores)

@@ -59,6 +59,12 @@ class TFIDFIndex:
         self._alive = np.ones(self.n_cap, bool)
         self._alive_dev = None
         self.n = 0
+        # device-resident CSR of (doc_id, tf) postings
+        self._csr_dirty = True
+        self._csr_ids = None
+        self._csr_vals = None
+        self._csr_range: dict[int, tuple[int, int]] = {}
+        self.SEGCAP = 512
 
     # ----------------------------------------------------------------- write
 
@@ -95,6 +101,7 @@ class TFIDFIndex:
                 self._tfs[term] = []
             p.ids.append(internal_id)
             self._tfs[term].append(tf)
+        self._csr_dirty = True
         self.total_documents += 1
         if internal_id >= self.n:
             self.n = internal_id + 1
@@ -113,38 +120,67 @@ class TFIDFIndex:
 
     # ---------------------------------------------------------------- search
 
+    def _build_csr(self):
+        """Upload postings as one flat device CSR; rebuilt per indexed txn."""
+        if not self._csr_dirty:
+            return
+        ids_parts, val_parts = [], []
+        self._csr_range = {}
+        pos = 0
+        for term, p in self._postings.items():
+            ids_parts.append(np.asarray(p.ids, np.int32))
+            val_parts.append(np.asarray(self._tfs[term], np.float32))
+            self._csr_range[term] = (pos, len(p.ids))
+            pos += len(p.ids)
+        if pos == 0:
+            self._csr_ids = None
+            self._csr_dirty = False
+            return
+        self._csr_ids = jnp.asarray(np.concatenate(ids_parts))
+        self._csr_vals = jnp.asarray(np.concatenate(val_parts))
+        self._csr_dirty = False
+
     def search(self, queries: list[str], top_k: int = 10) -> tuple[np.ndarray, np.ndarray]:
         b = len(queries)
         if b == 0 or self.total_documents == 0:
             return np.full((b, top_k), -1, np.int64), np.zeros((b, top_k), np.float32)
         self.flush()
-        gathered = []
+        self._build_csr()
+        if self._csr_ids is None:
+            return np.full((b, top_k), -1, np.int64), np.zeros((b, top_k), np.float32)
+        seg_lists = []
         for text in queries:
-            ids_parts, contrib_parts = [], []
+            segs = []
             for term in process_text_query(text, self.max_token_len):
-                p = self._postings.get(term)
-                if p is None:
+                rng = self._csr_range.get(term)
+                if rng is None:
                     continue
-                df = len(p.ids)
-                idf = get_idf(self.total_documents, df)
-                ids_parts.append(np.asarray(p.ids, np.int32))
-                contrib_parts.append(idf * np.asarray(self._tfs[term], np.float32))
-            if ids_parts:
-                gathered.append(
-                    (np.concatenate(ids_parts), np.concatenate(contrib_parts))
-                )
-            else:
-                gathered.append((np.zeros(0, np.int32), np.zeros(0, np.float32)))
-        pad = max(_PAD_MIN, _next_pow2(max(len(g[0]) for g in gathered)))
-        ids = np.full((b, pad), -1, np.int32)
-        contrib = np.zeros((b, pad), np.float32)
-        for i, (gi, gc) in enumerate(gathered):
-            ids[i, : len(gi)] = gi
-            contrib[i, : len(gc)] = gc
+                start, length = rng
+                idf = get_idf(self.total_documents, length)
+                for off in range(0, length, self.SEGCAP):
+                    segs.append(
+                        (start + off, min(self.SEGCAP, length - off), idf)
+                    )
+            seg_lists.append(segs)
+        maxd = max(
+            _PAD_MIN // 16, _next_pow2(max((len(s) for s in seg_lists), default=1))
+        )
+        starts = np.full((b, maxd), -1, np.int32)
+        lens = np.zeros((b, maxd), np.int32)
+        mults = np.zeros((b, maxd), np.float32)
+        for i, segs in enumerate(seg_lists):
+            for j, (s, l, m) in enumerate(segs):
+                starts[i, j] = s
+                lens[i, j] = l
+                mults[i, j] = m
         if self._alive_dev is None:
             self._alive_dev = jnp.asarray(self._alive)
+        from cosdata_tpu.ops.sparse_kernels import csr_accumulate_topk
+
         k_fetch = min(top_k, self.n_cap)
-        scores, out_ids = accumulate_topk(
-            jnp.asarray(ids), jnp.asarray(contrib), self._alive_dev, self.n_cap, k_fetch
+        scores, out_ids = csr_accumulate_topk(
+            jnp.asarray(starts), jnp.asarray(lens), jnp.asarray(mults),
+            self._csr_ids, self._csr_vals, self._alive_dev,
+            self.n_cap, k_fetch, self.SEGCAP,
         )
         return np.asarray(out_ids, np.int64), np.asarray(scores)

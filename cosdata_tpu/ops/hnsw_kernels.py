@@ -138,7 +138,7 @@ def beam_search(
     return final.ids, final.scores
 
 
-@functools.partial(jax.jit, static_argnames=("m",))
+@functools.partial(jax.jit, static_argnames=("m", "dedup"))
 def merge_neighbors(
     adj_table: jax.Array,  # (rows, m) int32
     dist_table: jax.Array,  # (rows, m) f32 (similarity, higher better)
@@ -147,17 +147,26 @@ def merge_neighbors(
     inc_ids: jax.Array,  # (T, G) int32 incoming neighbor ids, -1 padded
     inc_dists: jax.Array,  # (T, G) f32
     m: int,
+    dedup: bool = True,
 ):
     """Keep-the-m-closest neighbor merge (the batched equivalent of the
     reference's atomic worst-slot replacement, prob_node.rs:210-283).
-    Rows of -1 (padding) are dropped by the scatter."""
+    Rows of -1 (padding) are dropped by the scatter. ``dedup=False`` skips
+    the O((m+G)^2) first-occurrence mask — safe when incoming ids are known
+    disjoint from the current rows (bulk reverse edges); a duplicate would
+    only waste a slot, never corrupt results."""
     safe_rows = jnp.maximum(rows, 0)
     cur_ids = adj_table[safe_rows]
     cur_dists = dist_table[safe_rows]
+    if dedup:
+        # current rows and incoming groups are each internally unique, so
+        # dedup reduces to an inc-vs-cur membership test: O(G*m) instead of
+        # materializing the O((m+G)^2) first-occurrence mask
+        dup = jnp.any(inc_ids[:, :, None] == cur_ids[:, None, :], axis=-1)
+        inc_dists = jnp.where(dup, NEG_INF, inc_dists)
     all_ids = jnp.concatenate([cur_ids, inc_ids], axis=1)
     all_dists = jnp.concatenate([cur_dists, inc_dists], axis=1)
-    uniq = unique_mask_ids(all_ids)
-    masked = jnp.where(uniq, all_dists, NEG_INF)
+    masked = jnp.where(all_ids >= 0, all_dists, NEG_INF)
     top_d, pos = jax.lax.top_k(masked, m)
     top_ids = jnp.take_along_axis(all_ids, pos, axis=1)
     top_ids = jnp.where(top_d > NEG_INF / 2, top_ids, -1)

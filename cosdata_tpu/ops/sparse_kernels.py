@@ -19,6 +19,33 @@ import jax.numpy as jnp
 from cosdata_tpu.ops.topk import NEG_INF
 
 
+@functools.partial(jax.jit, static_argnames=("n_cap", "k", "segcap"))
+def csr_accumulate_topk(
+    starts: jax.Array,  # (B, MAXD) int32 posting offsets (-1 = unused slot)
+    lens: jax.Array,  # (B, MAXD) int32 segment lengths (<= segcap)
+    mults: jax.Array,  # (B, MAXD) f32 per-segment multiplier (qqv or idf)
+    post_ids: jax.Array,  # (P,) int32 device-resident posting vector ids
+    post_vals: jax.Array,  # (P,) f32 device-resident posting values
+    alive: jax.Array,  # (n_cap,) bool tombstone mask
+    n_cap: int,
+    k: int,
+    segcap: int,
+):
+    """Device-side CSR scoring: expand (start, len) segments into gathers of
+    the HBM-resident posting arrays, scatter-accumulate into dense (B, n_cap)
+    scores, fused top-k. The host ships only O(B * nnz) descriptors instead
+    of the gathered postings themselves."""
+    b, maxd = starts.shape
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, segcap), 2)
+    idx = starts[:, :, None] + iota  # (B, MAXD, S)
+    valid = (iota < lens[:, :, None]) & (starts[:, :, None] >= 0)
+    safe = jnp.clip(idx, 0, post_ids.shape[0] - 1)
+    ids = jnp.where(valid, post_ids[safe], -1).reshape(b, maxd * segcap)
+    contrib = jnp.where(valid, mults[:, :, None] * post_vals[safe], 0.0)
+    contrib = contrib.reshape(b, maxd * segcap)
+    return accumulate_topk(ids, contrib, alive, n_cap, k)
+
+
 @functools.partial(jax.jit, static_argnames=("n_cap", "k"))
 def accumulate_topk(
     ids: jax.Array,  # (B, PAD) int32 posting vector-ids, -1 padded

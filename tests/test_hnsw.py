@@ -134,3 +134,33 @@ class TestFlatScan:
             np.testing.assert_allclose(scores[:, 0], 1.0, rtol=1e-4)
         finally:
             FlatIndex.SCAN_THRESHOLD, FlatIndex.SCAN_CHUNK = old_thresh, old_chunk
+
+
+class TestBulkBuild:
+    def test_bulk_matches_recall(self):
+        from cosdata_tpu.indexes.hnsw import HNSWIndex, HNSWParams
+
+        d, n, nq, k = 96, 3000, 32, 10
+        x = _unit(n, d, 20)
+        q = _unit(nq, d, 21)
+        flat = FlatIndex(dim=d, kind="f32")
+        flat.add(x)
+        true_ids, _ = flat.search(q, top_k=k)
+
+        idx = HNSWIndex(dim=d, kind="u8", range_=(-0.3, 0.3),
+                        params=HNSWParams(**SMALL), seed=7, initial_capacity=n)
+        old = HNSWIndex.BULK_THRESHOLD
+        HNSWIndex.BULK_THRESHOLD = 1000
+        try:
+            idx.add(x)  # takes the bulk path
+        finally:
+            HNSWIndex.BULK_THRESHOLD = old
+        got_ids, _ = idx.search(q, top_k=k)
+        r = _recall(got_ids, true_ids)
+        assert r >= 0.93, f"bulk recall@{k} = {r}"
+
+        # incremental insert after bulk still works
+        x2 = _unit(100, d, 22)
+        ids2 = idx.add(x2)
+        got, _ = idx.search(x2[:4], top_k=1)
+        assert (got[:, 0] == ids2[:4]).mean() >= 0.75
