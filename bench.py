@@ -90,10 +90,10 @@ def main():
     t0 = time.time()
     idx.add(x[:hnsw_n])
     hnsw_build_s = time.time() - t0
-    hgot, _ = idx.search(q, top_k=k)  # compile
+    hgot, _ = idx.search(q, top_k=k, ef=128)  # compile
     t0 = time.time()
     for _ in range(reps):
-        hgot, _ = idx.search(q, top_k=k)
+        hgot, _ = idx.search(q, top_k=k, ef=128)
     hnsw_qps = reps * nq / (time.time() - t0)
     # hnsw recall only meaningful vs truth over its own subset
     sub_true = []

@@ -195,6 +195,18 @@ def hamming_f16(q: QuantizedFloat, v: QuantizedFloat) -> jax.Array:
 # dispatch
 # ---------------------------------------------------------------------------
 
+def _use_pallas_subbyte(store) -> bool:
+    """Route full-store sub-byte scoring through the fused Pallas unpack+
+    matmul kernel on TPU (keeps HBM traffic at packed width). Decided at
+    trace time; the jnp path remains the CPU/test reference."""
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return False
+    res, c, w = store.planes.shape
+    return c % 512 == 0 and c >= 512
+
+
 #: metric name -> (higher_is_better)
 METRIC_HIGHER_IS_BETTER = {
     "cosine": True,
@@ -209,6 +221,10 @@ def score(metric: str, kind: str, q, v, d: int) -> jax.Array:
 
     ``kind`` in {"u8", "subbyte", "float"}; euclidean/hamming are negated.
     """
+    if metric in ("cosine", "dot") and kind == "subbyte" and _use_pallas_subbyte(v):
+        from cosdata_tpu.ops.pallas.subbyte_scan import subbyte_scores
+
+        return subbyte_scores(metric, q, v, d)
     if metric == "cosine":
         if kind == "u8":
             return cosine_u8(q, v)

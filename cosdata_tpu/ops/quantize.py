@@ -93,24 +93,28 @@ def quantize_u8(x: jax.Array, lo: jax.Array, hi: jax.Array, d_true: int | None =
 def _pack_bits_to_u32(bits: jax.Array) -> jax.Array:
     """Pack a (N, D) array of 0/1 int32 into (N, ceil(D/32)) uint32 words.
 
-    Bit ``i`` of word ``w`` holds dimension ``w*32 + i`` (LSB-first within a
-    word, like the reference's LSB-first u8 packing, common.rs:253).
+    **Strided layout**: bit ``i`` of word ``w`` holds dimension ``i*W + w``
+    (W = word count). Chosen so a Pallas kernel can unpack with 32 shift
+    ops + static column-slice writes — no reshapes, which Mosaic's vector
+    layout inference rejects. (The reference packs LSB-first per dim,
+    common.rs:253; only the in-memory word layout differs, the per-dim
+    bucket values are identical.)
     """
     n, d = bits.shape
     w = -(-d // 32)
     pad = w * 32 - d
     if pad:
         bits = jnp.pad(bits, ((0, 0), (0, pad)))
-    bits = bits.reshape(n, w, 32).astype(jnp.uint32)
-    shifts = jnp.arange(32, dtype=jnp.uint32)
-    return jnp.sum(bits << shifts, axis=-1, dtype=jnp.uint32)
+    bits = bits.reshape(n, 32, w).astype(jnp.uint32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)[None, :, None]
+    return jnp.sum(bits << shifts, axis=1, dtype=jnp.uint32)
 
 
 def unpack_bits_from_u32(packed: jax.Array, d: int) -> jax.Array:
     """Inverse of :func:`_pack_bits_to_u32`: (N, W) uint32 -> (N, d) int8 of 0/1."""
     n, w = packed.shape
     shifts = jnp.arange(32, dtype=jnp.uint32)
-    bits = (packed[:, :, None] >> shifts) & jnp.uint32(1)
+    bits = (packed[:, None, :] >> shifts[None, :, None]) & jnp.uint32(1)
     return bits.reshape(n, w * 32)[:, :d].astype(jnp.int8)
 
 
