@@ -164,6 +164,47 @@ class DenseIndexHandle:
 
     def flush(self):
         self.finalize_sampling()
+        self.maybe_compact()
+
+    #: tombstone fraction that triggers a rebuild at flush time
+    COMPACT_THRESHOLD = 0.25
+
+    def maybe_compact(self):
+        """Rebuild the graph without tombstoned rows once they exceed the
+        threshold. The reference repairs neighbor lists inline on every
+        delete (vector_store.rs:1206-1371); with array storage the
+        equivalent hygiene is a periodic rebuild through the exact-kNN bulk
+        path, which is fast enough to run at flush points."""
+        idx = self.index
+        if idx is None or idx.n == 0:
+            return
+        if idx.n_deleted / idx.n < self.COMPACT_THRESHOLD:
+            return
+        if not idx.store.keep_raw:
+            return
+        alive_items = sorted(self.row_of.items(), key=lambda kv: kv[1])
+        if not alive_items:
+            return
+        internals = [iid for iid, _ in alive_items]
+        rows = np.asarray([r for _, r in alive_items])
+        raw = idx.store.raw_rows(rows)
+        old_fields = {
+            f: [lst[r] for r in rows] for f, lst in self.field_rows.items()
+        }
+        self.index = HNSWIndex(
+            dim=self.dimension,
+            metric=self.metric,
+            kind=self.kind,
+            resolution=self.resolution,
+            range_=self.range,
+            params=self.params,
+            seed=self.seed,
+            initial_capacity=len(internals),
+        )
+        self.index.add(raw)
+        self.row_of = {iid: i for i, iid in enumerate(internals)}
+        self.internal_of = list(internals)
+        self.field_rows = {f: list(v) for f, v in old_fields.items()}
 
     def delete(self, internal_id: int):
         row = self.row_of.pop(internal_id, None)

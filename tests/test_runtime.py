@@ -286,3 +286,25 @@ class TestCollectionCache:
         ctx.delete_collection("du")
         with pytest.raises(KeyError):
             ctx.unload_collection("du")
+
+
+class TestCompaction:
+    def test_compact_after_many_deletes(self, tmp_path):
+        ctx = _ctx(tmp_path)
+        coll = _mk_collection(ctx, "cp")
+        coll.create_dense_index(quantization={"type": "scalar", "data_type": "f32"},
+                                hnsw_params={"wave_size": 64, "num_layers": 2})
+        x = _unit(100, 32, 9)
+        coll.stream_upsert(
+            [{"id": i, "dense_values": x[i].tolist()} for i in range(100)]
+        )
+        for i in range(40):
+            coll.stream_delete(i)
+        assert coll.dense.index.n_deleted == 40
+        coll.dense.maybe_compact()
+        assert coll.dense.index.n == 60
+        assert coll.dense.index.n_deleted == 0
+        res = coll.search_dense([x[70].tolist()], top_k=3)
+        assert res[0][0]["id"] == 70
+        res = coll.search_dense([x[5].tolist()], top_k=5)
+        assert all(r["id"] != 5 for r in res[0])
