@@ -24,7 +24,6 @@ from cosdata_tpu.core.transaction import (
 from cosdata_tpu.indexes.hnsw import HNSWIndex, HNSWParams
 from cosdata_tpu.indexes.inverted import InvertedIndex
 from cosdata_tpu.indexes.tf_idf import TFIDFIndex
-from cosdata_tpu.ops.quantize import train_range
 from cosdata_tpu.store.meta import MetaStore
 from cosdata_tpu.store.versioning import VersionControl
 from cosdata_tpu.store.wal import OP_DELETE, OP_UPSERT, read_wal

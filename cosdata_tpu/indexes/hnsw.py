@@ -28,7 +28,7 @@ parity is recall-vs-brute-force, not graph isomorphism (SURVEY.md §7).
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp

@@ -27,7 +27,6 @@ from dataclasses import dataclass, field
 import jax.numpy as jnp
 import numpy as np
 
-from cosdata_tpu.ops.sparse_kernels import accumulate_topk
 
 _PAD_MIN = 256
 
@@ -215,34 +214,6 @@ class InvertedIndex:
             for off in range(0, length, self.SEGCAP):
                 segs.append((start + off, min(self.SEGCAP, length - off), float(qqv)))
         return segs
-
-    def _gather_query(self, pairs) -> tuple[np.ndarray, np.ndarray]:
-        """One query -> (posting ids, contributions), early-termination applied."""
-        low_threshold = int(
-            self.early_terminate_threshold * (1 << self.bits)
-        )  # sparse_ann_query.rs:82-84
-        etv = min(int((1 << self.bits) * self.early_terminate_threshold), 255)
-        pairs = sorted(pairs, key=lambda p: -p[1])
-        ids_parts, contrib_parts = [], []
-        for dim, value in pairs:
-            p = self._postings.get(int(dim))
-            if p is None:
-                continue
-            qqv = int(self.quantize(np.float32(value)))
-            p.ensure_sorted()
-            if qqv > low_threshold:
-                sl_ids, sl_b = p.sorted_ids, p.sorted_buckets
-            else:
-                # prefix of buckets >= early_terminate_value
-                cut = int(np.searchsorted(-p.sorted_buckets, -etv, side="right"))
-                sl_ids, sl_b = p.sorted_ids[:cut], p.sorted_buckets[:cut]
-            if len(sl_ids) == 0:
-                continue
-            ids_parts.append(sl_ids)
-            contrib_parts.append(qqv * sl_b.astype(np.float32))
-        if not ids_parts:
-            return np.zeros(0, np.int32), np.zeros(0, np.float32)
-        return np.concatenate(ids_parts), np.concatenate(contrib_parts)
 
     def search(
         self,
