@@ -63,6 +63,11 @@ class Config:
     rerank_sparse_with_raw_values: bool = False
     sparse_raw_values_reranking_factor: int = 5
     epoch_length: int = 3600
+    # retain a per-version snapshot directory (the reference's
+    # enable_context_history keeps versioned latest-link region files,
+    # cache_loader.rs:98-112). Off by default here: array snapshots are
+    # full copies, so history costs O(index size) per version.
+    enable_context_history: bool = False
     data_path: str = "./data"
     server: ServerConfig = field(default_factory=ServerConfig)
     hnsw: HnswConfig = field(default_factory=HnswConfig)

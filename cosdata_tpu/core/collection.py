@@ -577,6 +577,12 @@ class Collection:
         from cosdata_tpu.store.snapshots import save_collection_state
 
         save_collection_state(self, self.data_dir / "snapshot")
+        if getattr(self.app_config, "enable_context_history", False):
+            # retain the state at this version (version-context history)
+            save_collection_state(
+                self,
+                self.data_dir / f"snapshot-v{self.vcs.current_version}",
+            )
 
     # --------------------------------------------------- streaming (implicit)
 
@@ -693,23 +699,34 @@ class Collection:
                       return_raw_text=False):
         """RRF fusion of two legs, each fetching 3*top_k
         (search/repo.rs:168-341)."""
-        legs = []
         fetch = top_k * 3
         if "query_vector" in query and "query_terms" in query:
-            legs.append(self.search_dense([query["query_vector"]], fetch)[0])
-            legs.append(self.search_sparse([query["query_terms"]], fetch,
-                        query.get("sparse_early_terminate_threshold"))[0])
+            leg_fns = [
+                lambda: self.search_dense([query["query_vector"]], fetch)[0],
+                lambda: self.search_sparse([query["query_terms"]], fetch,
+                        query.get("sparse_early_terminate_threshold"))[0],
+            ]
         elif "query_vector" in query and "query_text" in query:
-            legs.append(self.search_dense([query["query_vector"]], fetch)[0])
-            legs.append(self.search_tfidf([query["query_text"]], fetch)[0])
+            leg_fns = [
+                lambda: self.search_dense([query["query_vector"]], fetch)[0],
+                lambda: self.search_tfidf([query["query_text"]], fetch)[0],
+            ]
         elif "query_terms" in query and "query_text" in query:
-            legs.append(self.search_sparse([query["query_terms"]], fetch,
-                        query.get("sparse_early_terminate_threshold"))[0])
-            legs.append(self.search_tfidf([query["query_text"]], fetch)[0])
+            leg_fns = [
+                lambda: self.search_sparse([query["query_terms"]], fetch,
+                        query.get("sparse_early_terminate_threshold"))[0],
+                lambda: self.search_tfidf([query["query_text"]], fetch)[0],
+            ]
         else:
             raise ValueError(
                 "hybrid query must combine two of query_vector/query_terms/query_text"
             )
+        # run both legs concurrently (the reference uses tokio::try_join!,
+        # search/repo.rs:343-555); device dispatches overlap
+        import concurrent.futures as _futures
+
+        with _futures.ThreadPoolExecutor(2) as ex:
+            legs = list(ex.map(lambda f: f(), leg_fns))
         k = float(fusion_constant_k)
         eps = float(np.finfo(np.float32).eps)
         fused: dict = {}

@@ -20,6 +20,10 @@ from cosdata_tpu.grpc_api import vector_service_pb2 as pb
 
 log = logging.getLogger(__name__)
 
+# NB: the reference enables tonic server reflection (grpc/server.rs:24-44);
+# grpcio-reflection is not available in this image, so reflection is gated
+# off — clients use the vendored proto/vector_service.proto instead.
+
 _PKG = "vector_service"
 
 

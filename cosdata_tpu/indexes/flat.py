@@ -26,6 +26,10 @@ class FlatIndex:
         keep_raw: bool = True,
         initial_capacity: int = 1024,
     ):
+        if initial_capacity >= self.SCAN_THRESHOLD:
+            # presize to a scan-chunk multiple: growth later would transiently
+            # hold old+new copies of every array (incl. the raw f32 rows)
+            initial_capacity = -(-initial_capacity // self.SCAN_CHUNK) * self.SCAN_CHUNK
         self.store = VectorStore(
             dim=dim, kind=kind, metric=metric, resolution=resolution,
             range=range_, keep_raw=keep_raw, initial_capacity=initial_capacity,

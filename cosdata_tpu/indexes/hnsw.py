@@ -405,7 +405,15 @@ class HNSWIndex:
         p = self.params
         node_chunk = 2048
         scan_chunk = min(65536, self.cap)
-        # capacity must divide the scan chunk
+        if self.cap % scan_chunk:
+            # grow to a scan-chunk multiple: the halving fallback can
+            # degrade to tiny chunks on odd capacities (e.g. 1000064)
+            self.store._grow_to(-(-self.cap // scan_chunk) * scan_chunk)
+            self._sync_capacity()
+            valid = self.store.valid_mask()
+            if member_mask is not None:
+                pad = self.cap - member_mask.shape[0]
+                member_mask = jnp.pad(member_mask, ((0, pad),))
         while self.cap % scan_chunk:
             scan_chunk //= 2
         mask = valid if member_mask is None else (valid & member_mask)

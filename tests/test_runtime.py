@@ -308,3 +308,25 @@ class TestCompaction:
         assert res[0][0]["id"] == 70
         res = coll.search_dense([x[5].tolist()], top_k=5)
         assert all(r["id"] != 5 for r in res[0])
+
+
+class TestContextHistory:
+    def test_versioned_snapshots_retained(self, tmp_path):
+        cfg = load_config(data_path=str(tmp_path / "data"))
+        cfg.enable_context_history = True
+        ctx = AppContext(cfg, admin_key="test-admin")
+        coll = ctx.create_collection(
+            {"name": "ch", "dense_vector": {"enabled": True, "dimension": 8}}
+        )
+        coll.create_dense_index(quantization={"type": "scalar", "data_type": "f32"},
+                                hnsw_params={"num_layers": 2, "wave_size": 32})
+        for i in range(2):
+            txn = coll.create_transaction()
+            coll.txn_upsert(
+                txn.txn_id, [{"id": f"x{i}", "dense_values": [0.1 * i] * 8}], False
+            )
+            v = coll.commit_transaction(txn.txn_id)
+            ctx.indexing.trigger(coll, v, txn)
+            ctx.indexing.wait_idle()
+        assert (coll.data_dir / "snapshot-v1").exists()
+        assert (coll.data_dir / "snapshot-v2").exists()
