@@ -133,8 +133,8 @@ class TestSmoke:
         version = (await resp.json())["version"]
         assert version == 1
 
-        # poll status until complete
-        for _ in range(100):
+        # poll status until complete (first-compile latency dominates on CPU)
+        for _ in range(600):
             resp = await client.get(
                 f"/vectordb/collections/smoke/transactions/{txn}/status", headers=h
             )
