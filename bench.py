@@ -79,8 +79,18 @@ def main():
     t0 = time.time()
     for _ in range(reps):
         got, _ = flat.search(q, top_k=k, rerank=True)
-    flat_qps = reps * nq / (time.time() - t0)
+    flat_lat_ms = (time.time() - t0) / reps * 1000
     flat_recall = recall(got)
+    # throughput: pipelined dispatch (async jax dispatch overlaps transfer &
+    # compute across batches; one sync at the end) — the same shape as the
+    # reference's concurrent-request RPS harness (tests/rps-test.py:414-454)
+    import jax as _jax
+
+    preps = 10
+    t0 = time.time()
+    outs = [flat.search_device(q, top_k=k, rerank=True) for _ in range(preps)]
+    outs = _jax.device_get(outs)
+    flat_qps = preps * nq / (time.time() - t0)
 
     # ---- HNSW u8 (parity engine) ----
     idx = HNSWIndex(
@@ -92,9 +102,9 @@ def main():
     hnsw_build_s = time.time() - t0
     hgot, _ = idx.search(q, top_k=k, ef=128)  # compile
     t0 = time.time()
-    for _ in range(reps):
-        hgot, _ = idx.search(q, top_k=k, ef=128)
-    hnsw_qps = reps * nq / (time.time() - t0)
+    houts = [idx.search_device(q, top_k=k, ef=128) for _ in range(preps)]
+    houts = _jax.device_get(houts)
+    hnsw_qps = preps * nq / (time.time() - t0)
     # hnsw recall only meaningful vs truth over its own subset
     sub_true = []
     for i in range(0, nq, 32):
@@ -113,6 +123,7 @@ def main():
                 "unit": "qps",
                 "vs_baseline": round(flat_qps / cpu_qps, 3),
                 "recall10": round(flat_recall, 4),
+                "flat_batch_latency_ms": round(flat_lat_ms, 1),
                 "flat_build_s": round(flat_build_s, 2),
                 "hnsw_qps": round(hnsw_qps, 1),
                 "hnsw_recall10": round(hnsw_recall, 4),

@@ -51,6 +51,14 @@ class IndexingConfig:
 
 
 @dataclass
+class CacheConfig:
+    # collection residency cap + probabilistic-eviction knobs
+    # (config_loader.rs:201-225: max 10 collections, prob 0.03125)
+    max_collections: int = 10
+    eviction_probability: float = 0.03125
+
+
+@dataclass
 class GrpcConfig:
     host: str = "127.0.0.1"
     port: int = 50051
@@ -73,6 +81,7 @@ class Config:
     hnsw: HnswConfig = field(default_factory=HnswConfig)
     search: SearchConfig = field(default_factory=SearchConfig)
     indexing: IndexingConfig = field(default_factory=IndexingConfig)
+    cache: CacheConfig = field(default_factory=CacheConfig)
     grpc: GrpcConfig = field(default_factory=GrpcConfig)
 
 

@@ -40,6 +40,9 @@ class AppContext:
         elif bytes(stored) != digest:
             raise PermissionError("admin key does not match stored hash")
         self.admin_key = admin_key
+        self.max_loaded_collections = getattr(
+            getattr(config, "cache", None), "max_collections", 10
+        )
 
         # users map (types.rs:1323-1404 / :1557-1579): admin user registered
         if self.meta.get("users", "admin") is None:
@@ -124,9 +127,8 @@ class AppContext:
 
     # ------------------------------------------------------------ collections
 
-    #: max resident collections (reference collection_cache: 10 by default,
-    #: config_loader.rs:201-225)
-    max_loaded_collections = 10
+    # max resident collections set from config.cache in __init__
+    # (reference collection_cache: 10 by default, config_loader.rs:201-225)
 
     def create_collection(self, cfg: dict) -> Collection:
         with self.lock:

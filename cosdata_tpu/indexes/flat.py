@@ -60,6 +60,21 @@ class FlatIndex:
     def search(
         self, queries: np.ndarray, top_k: int = 10, rerank: bool = False
     ) -> tuple[np.ndarray, np.ndarray]:
+        ids, vals = self.search_device(queries, top_k, rerank)
+        ids, vals = jax.device_get((ids, vals))  # one round trip
+        return ids.astype(np.int64), np.asarray(vals)
+
+    def search_device(
+        self, queries: np.ndarray, top_k: int = 10, rerank: bool = False
+    ):
+        """Dispatch one search without host synchronization.
+
+        Returns device arrays (ids, vals); jax dispatch is async, so callers
+        can pipeline many batches (overlapping host->device transfer with
+        compute) and fetch all results with one `jax.device_get` at the end —
+        the throughput shape the reference measures with concurrent requests
+        (tests/rps-test.py:414-454).
+        """
         queries = np.atleast_2d(np.asarray(queries, np.float32))
         b = len(queries)
         if self.n == 0:
@@ -86,14 +101,12 @@ class FlatIndex:
             do_rerank = bool(rerank and self.store.keep_raw)
             q_raw = self.store._pad_dims(queries)
             raw = self.store._raw if do_rerank else q_raw
-            ids, vals = fused_flat_search(
+            return fused_flat_search(
                 self.store.metric, kind, self.store.dim, self.store.dim_pad,
                 self.store.resolution, k_fetch, top_k, self.SCAN_CHUNK,
                 do_rerank, q_raw, self.store.range[0], self.store.range[1],
                 self.store._arrays, raw, mask,
             )
-            ids, vals = jax.device_get((ids, vals))  # one round trip
-            return ids.astype(np.int64), vals
         q = self.store.quantize_queries(queries)
         scores = self.store.scores_all(q)
         vals, ids = topk(scores, k_fetch, mask=mask[None, :])
@@ -105,4 +118,4 @@ class FlatIndex:
         else:
             vals, ids = vals[:, :top_k], ids[:, :top_k]
         ids = jnp.where(vals > NEG_INF / 2, ids, -1)
-        return np.asarray(ids, np.int64), np.asarray(vals)
+        return ids, vals

@@ -757,9 +757,10 @@ class HNSWIndex:
         top_k: int = 10,
         ef: int | None = None,
         rerank: bool = True,
+        rerank_keep: int | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Batched ANN search. Returns (ids (B, k), scores (B, k)); id -1 pads."""
-        out = self.search_device(queries, top_k, ef, rerank)
+        out = self.search_device(queries, top_k, ef, rerank, rerank_keep)
         if out is None:
             b = len(np.atleast_2d(queries))
             return (
@@ -775,6 +776,7 @@ class HNSWIndex:
         top_k: int = 10,
         ef: int | None = None,
         rerank: bool = True,
+        rerank_keep: int | None = None,
     ):
         """Like :meth:`search` but returns device arrays without host sync
         (lets a sharded composition overlap dispatches across devices), or
@@ -782,7 +784,11 @@ class HNSWIndex:
 
         Mirrors search_internal + finalize_ann_results
         (indexes/hnsw/mod.rs:390-441, vector_store.rs:404-445): beam search
-        with ef_search, keep 5*k candidates, exact-rerank on raw f32, top-k.
+        with ef_search, keep `rerank_keep` candidates (default 5*k, the
+        reference's factor), exact-rerank on raw f32, top-k. Reranking is a
+        single gather + (B, keep, D) dot — deepening it is nearly free next
+        to the beam sweep, so quantization-noise-limited recall can be
+        bought back with rerank_keep=ef.
         """
         queries = np.atleast_2d(np.asarray(queries, np.float32))
         b = len(queries)
@@ -798,7 +804,7 @@ class HNSWIndex:
             queries = np.concatenate([queries, np.repeat(queries[-1:], bp - b, 0)])
         q_raw = self.store._pad_dims(queries)
         upper = self._active_upper_levels()
-        keep = min(max(5 * top_k, top_k), ef)
+        keep = min(max(rerank_keep or 5 * top_k, top_k), ef)
         rerank = bool(rerank and self.store.keep_raw)
         raw = self.store._raw if rerank else q_raw  # dummy when not reranking
         top_i, top_s = _fused_search(

@@ -330,3 +330,21 @@ class TestContextHistory:
             ctx.indexing.wait_idle()
         assert (coll.data_dir / "snapshot-v1").exists()
         assert (coll.data_dir / "snapshot-v2").exists()
+
+
+class TestCollectionCache:
+    def test_residency_cap_from_config(self, tmp_path):
+        """Creating collections past cache.max_collections evicts the oldest
+        (snapshot + drop), matching the reference's collection cache
+        (collection_cache.rs:56-270, config_loader.rs:201-225)."""
+        cfg = load_config(data_path=str(tmp_path / "data"))
+        cfg.cache.max_collections = 2
+        ctx = AppContext(cfg, admin_key="test-admin")
+        assert ctx.max_loaded_collections == 2
+        for i in range(3):
+            ctx.create_collection(
+                {"name": f"cc{i}", "dense_vector": {"enabled": True, "dimension": 8}}
+            )
+        assert len(ctx.collections) == 2
+        # the evicted one is still addressable: lazily reloaded on access
+        assert ctx.get_collection("cc0") is not None
