@@ -78,6 +78,13 @@ def beam_search(
     use_row_of: bool = True,
 ):
     """One-level batched beam search. Returns (ids (B, EF), scores (B, EF))."""
+    # a wave cannot expand more entries than the beam holds
+    expand = min(expand, ef)
+    # never let the iteration bound silently truncate the beam: full
+    # convergence needs ceil(ef/expand) waves just to expand every entry
+    # once; 2x that is the safety net (the while_loop exits on convergence,
+    # so a generous bound costs nothing when the search settles early)
+    max_iters = max(max_iters, 2 * -(-ef // expand))
     m = adj_table.shape[1]
     k = expand * m
     # ring capacity must hold whole waves
