@@ -53,8 +53,21 @@ class FlatIndex:
     def delete(self, internal_id: int) -> None:
         self.alive = self.alive.at[int(internal_id)].set(False)
 
-    #: above this capacity, use the chunked scan (never materializes (B, N))
-    SCAN_THRESHOLD = 1 << 17
+    def _mask(self) -> jax.Array:
+        """valid & alive, cached — per-search device-op round trips dominate
+        latency on a remote link (alive is replaced, not mutated, on delete,
+        so identity is a sound cache key)."""
+        cached = getattr(self, "_mask_cache", None)
+        key = (self.store.n, self.store.capacity)
+        if cached is None or cached[0] != key or cached[1] is not self.alive:
+            cached = (key, self.alive, self.store.valid_mask() & self.alive)
+            self._mask_cache = cached
+        return cached[2]
+
+    #: at/above one chunk of capacity, use the fused chunked scan (never
+    #: materializes (B, N) — measured 14x faster than the full score matrix
+    #: at 100k x 768 u8, whose (B, cap) f32 intermediate is HBM-hostile)
+    SCAN_THRESHOLD = 1 << 16
     SCAN_CHUNK = 1 << 16
 
     def search(
@@ -82,7 +95,7 @@ class FlatIndex:
                 np.full((b, top_k), -1, np.int64),
                 np.full((b, top_k), -np.inf, np.float32),
             )
-        mask = self.store.valid_mask() & self.alive
+        mask = self._mask()
         k_fetch = min(top_k * 5 if rerank else top_k, self.store.capacity)
         if self.store.capacity >= self.SCAN_THRESHOLD:
             from cosdata_tpu.ops.flat_scan import fused_flat_search
@@ -96,7 +109,7 @@ class FlatIndex:
                     ((0, self.store.capacity - self.alive.shape[0]),),
                     constant_values=True,
                 )
-                mask = self.store.valid_mask() & self.alive
+                mask = self._mask()
             kind = "float" if self.store.kind in ("f16", "f32") else self.store.kind
             do_rerank = bool(rerank and self.store.keep_raw)
             q_raw = self.store._pad_dims(queries)

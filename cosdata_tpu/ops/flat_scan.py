@@ -76,7 +76,7 @@ def flat_scan_topk(
         # recall-uncritical (the shortlist is exact-reranked downstream) and
         # the full sort of lax.top_k dominates the sweep otherwise
         c_s, c_i = jax.lax.approx_max_k(
-            scores, min(k, chunk), recall_target=0.95
+            scores, min(k, chunk), recall_target=0.99
         )
         c_i = c_i + start
         all_s = jnp.concatenate([top_s, c_s], axis=1)

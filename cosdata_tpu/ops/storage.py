@@ -195,7 +195,15 @@ class VectorStore:
         return D.score(self.metric, kind, q_quant, self._arrays, self.dim_pad)
 
     def valid_mask(self) -> jax.Array:
-        return jnp.arange(self.capacity) < self.n
+        # cached: rebuilding this (iota + compare) on every search costs
+        # dispatch round trips that dwarf the actual query compute on a
+        # remote-device link; n/capacity only change on add/grow
+        cached = getattr(self, "_valid_mask_cache", None)
+        key = (self.n, self.capacity)
+        if cached is None or cached[0] != key:
+            cached = (key, jnp.arange(self.capacity) < self.n)
+            self._valid_mask_cache = cached
+        return cached[1]
 
     def scores_gathered(self, q_quant, ids: jax.Array) -> jax.Array:
         """Per-query candidate scoring: ids (Q, K) -> scores (Q, K).
