@@ -810,6 +810,18 @@ class HNSWIndex:
             queries = np.concatenate([queries, np.repeat(queries[-1:], bp - b, 0)])
         q_raw = self.store._pad_dims(queries)
         upper = self._active_upper_levels()
+        # cache the small per-call device constants (entry id, upper-level
+        # list): on a remote link every host->device transfer is a round trip
+        ckey = (self.entry, tuple(upper))
+        cached = getattr(self, "_search_consts", None)
+        if cached is None or cached[0] != ckey:
+            cached = (
+                ckey,
+                jnp.int32(self.entry),
+                jnp.asarray(np.asarray(upper, np.int32)),
+            )
+            self._search_consts = cached
+        entry_dev, upper_dev = cached[1], cached[2]
         keep = min(max(rerank_keep or 5 * top_k, top_k), ef)
         rerank = bool(rerank and self.store.keep_raw)
         raw = self.store._raw if rerank else q_raw  # dummy when not reranking
@@ -837,8 +849,8 @@ class HNSWIndex:
             self.up_adj,
             self.up_slot,
             self.alive,
-            jnp.int32(self.entry),
-            jnp.asarray(np.asarray(upper, np.int32)),
+            entry_dev,
+            upper_dev,
         )
         return top_i[:b], top_s[:b]
 

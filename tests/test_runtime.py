@@ -332,7 +332,7 @@ class TestContextHistory:
         assert (coll.data_dir / "snapshot-v2").exists()
 
 
-class TestCollectionCache:
+class TestCollectionCacheConfig:
     def test_residency_cap_from_config(self, tmp_path):
         """Creating collections past cache.max_collections evicts the oldest
         (snapshot + drop), matching the reference's collection cache
