@@ -294,14 +294,28 @@ class Server:
         coll = self._coll(request)
         if coll.dense is None:
             raise KeyError("dense index not found")
-        queries = [q["vector"] for q in body["queries"]]
-        results = await _run(
-            request,
-            coll.search_dense,
-            queries,
-            int(body.get("top_k") or 10),
-            bool(body.get("return_raw_text", False)),
-        )
+        top_k = int(body.get("top_k") or 10)
+        rrt = bool(body.get("return_raw_text", False))
+        qs = body["queries"]
+        # group queries by per-query filter so each group runs as one
+        # batched device call (BatchDenseSearchRequestQueryDto carries an
+        # optional filter per query — previously silently ignored)
+        groups: dict[str, list[int]] = {}
+        for i, q in enumerate(qs):
+            key = json.dumps(q.get("filter"), sort_keys=True)
+            groups.setdefault(key, []).append(i)
+        results = [None] * len(qs)
+        for idxs in groups.values():
+            part = await _run(
+                request,
+                coll.search_dense,
+                [qs[i]["vector"] for i in idxs],
+                top_k,
+                rrt,
+                qs[idxs[0]].get("filter"),
+            )
+            for i, r in zip(idxs, part):
+                results[i] = r
         return web.json_response(
             {
                 "responses": [{"results": r} for r in results],
@@ -408,7 +422,9 @@ class Server:
     async def search_batch_hybrid(self, request):
         body = await request.json()
         coll = self._coll(request)
-        out = []
+        # all hybrid queries run concurrently (the reference regroups legs
+        # and joins them, search/repo.rs:343-555; device dispatches overlap)
+        tasks = []
         for q in body["queries"]:
             query = {
                 k: q[k]
@@ -420,18 +436,17 @@ class Server:
                 )
                 if k in q
             }
-            out.append(
-                {
-                    "results": await _run(
-                        request,
-                        coll.hybrid_search,
-                        query,
-                        int(body.get("top_k") or 10),
-                        float(body.get("fusion_constant_k") or 60.0),
-                        bool(body.get("return_raw_text", False)),
-                    )
-                }
+            tasks.append(
+                _run(
+                    request,
+                    coll.hybrid_search,
+                    query,
+                    int(body.get("top_k") or 10),
+                    float(body.get("fusion_constant_k") or 60.0),
+                    bool(body.get("return_raw_text", False)),
+                )
             )
+        out = [{"results": r} for r in await asyncio.gather(*tasks)]
         return web.json_response(
             {"responses": out, "warning": self._warning(coll)}
         )

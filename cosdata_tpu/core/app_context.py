@@ -149,6 +149,12 @@ class AppContext:
         if coll is None and self.meta.get("collections", name) is not None:
             # lazily reload an unloaded collection (collection_cache.rs:56-270)
             coll = self.load_collection(name)
+        elif coll is not None:
+            # move-to-back so eviction is least-recently-used, matching the
+            # reference's usage-based eviction (collection_cache.rs:56-270)
+            with self.lock:
+                if name in self.collections:
+                    self.collections[name] = self.collections.pop(name)
         return coll
 
     def unload_collection(self, name: str) -> None:
@@ -188,6 +194,11 @@ class AppContext:
                 self.collections.pop(victim, None)
 
     def delete_collection(self, name: str) -> Collection:
+        """Drop a collection AND its on-disk state (snapshots, WALs, version
+        records) so a recreated same-named collection starts clean — the
+        reference deletes collection data from disk on DELETE."""
+        import shutil
+
         with self.lock:
             coll = self.collections.pop(name, None)
             if coll is None:
@@ -197,6 +208,8 @@ class AppContext:
                 self.collections.pop(name, None)
             self.meta.delete("collections", name)
             self.meta.delete("indexes", name)
+            self.meta.clear(f"versions:{name}")
+            shutil.rmtree(coll.data_dir, ignore_errors=True)
             return coll
 
     def list_collections(self) -> list[dict]:

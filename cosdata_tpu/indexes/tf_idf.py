@@ -55,16 +55,25 @@ class TFIDFIndex:
         self._postings: dict[int, _Postings] = {}  # term -> (doc_ids, tf-bits)
         self._tfs: dict[int, list[float]] = {}
         self.total_documents = 0
+        # live accounting so idf doesn't drift under churn (deletes/upserts):
+        # df and N in get_idf must count live documents only
+        self.live_documents = 0
         self.n_cap = 1024
         self._alive = np.ones(self.n_cap, bool)
+        self._has_doc = np.zeros(self.n_cap, bool)
         self._alive_dev = None
         self.n = 0
         # device-resident CSR of (doc_id, tf) postings
         self._csr_dirty = True
+        self._df_dirty = False
         self._csr_ids = None
         self._csr_vals = None
         self._csr_range: dict[int, tuple[int, int]] = {}
+        self._live_df: dict[int, int] = {}
         self.SEGCAP = 512
+        #: dead fraction that triggers posting compaction at flush
+        COMPACT = 0.25
+        self.COMPACT_THRESHOLD = COMPACT
 
     # ----------------------------------------------------------------- write
 
@@ -88,6 +97,7 @@ class TFIDFIndex:
     def flush(self):
         if not self.is_configured:
             self._finalize_sampling()
+        self._maybe_compact()
 
     def _insert(self, internal_id: int, text: str):
         internal_id = int(internal_id)
@@ -103,6 +113,7 @@ class TFIDFIndex:
             self._tfs[term].append(tf)
         self._csr_dirty = True
         self.total_documents += 1
+        self.live_documents += 1
         if internal_id >= self.n:
             self.n = internal_id + 1
         if internal_id >= self.n_cap:
@@ -110,13 +121,43 @@ class TFIDFIndex:
             self._alive = np.concatenate(
                 [self._alive, np.ones(new_cap - self.n_cap, bool)]
             )
+            self._has_doc = np.concatenate(
+                [self._has_doc, np.zeros(new_cap - self.n_cap, bool)]
+            )
             self.n_cap = new_cap
             self._alive_dev = None
+        self._has_doc[internal_id] = True
 
     def delete(self, internal_id: int) -> None:
         if internal_id < self.n_cap:
+            if self._has_doc[internal_id] and self._alive[internal_id]:
+                self.live_documents -= 1
+                self._df_dirty = True
             self._alive[internal_id] = False
             self._alive_dev = None
+
+    def _maybe_compact(self):
+        """Drop dead entries from the host postings once they exceed the
+        threshold (runs at flush, like the dense index's maybe_compact)."""
+        dead = self.total_documents - self.live_documents
+        if self.total_documents == 0 or dead / self.total_documents < self.COMPACT_THRESHOLD:
+            return
+        for term in list(self._postings):
+            p = self._postings[term]
+            ids = np.asarray(p.ids, np.int64)
+            keep = self._alive[ids]
+            if keep.all():
+                continue
+            if not keep.any():
+                del self._postings[term]
+                del self._tfs[term]
+                continue
+            p.ids = ids[keep].tolist()
+            self._tfs[term] = [
+                t for t, k in zip(self._tfs[term], keep) if k
+            ]
+        self.total_documents = self.live_documents
+        self._csr_dirty = True
 
     # ---------------------------------------------------------------- search
 
@@ -126,12 +167,16 @@ class TFIDFIndex:
             return
         ids_parts, val_parts = [], []
         self._csr_range = {}
+        self._live_df = {}
         pos = 0
         for term, p in self._postings.items():
-            ids_parts.append(np.asarray(p.ids, np.int32))
+            ids = np.asarray(p.ids, np.int32)
+            ids_parts.append(ids)
             val_parts.append(np.asarray(self._tfs[term], np.float32))
             self._csr_range[term] = (pos, len(p.ids))
+            self._live_df[term] = int(self._alive[ids].sum())
             pos += len(p.ids)
+        self._df_dirty = False
         if pos == 0:
             self._csr_ids = None
             self._csr_dirty = False
@@ -142,12 +187,19 @@ class TFIDFIndex:
 
     def search(self, queries: list[str], top_k: int = 10) -> tuple[np.ndarray, np.ndarray]:
         b = len(queries)
-        if b == 0 or self.total_documents == 0:
+        if b == 0 or self.live_documents <= 0:
             return np.full((b, top_k), -1, np.int64), np.zeros((b, top_k), np.float32)
         self.flush()
         self._build_csr()
         if self._csr_ids is None:
             return np.full((b, top_k), -1, np.int64), np.zeros((b, top_k), np.float32)
+        if self._df_dirty:
+            # deletes since the last CSR build: refresh live per-term df
+            for term, p in self._postings.items():
+                self._live_df[term] = int(
+                    self._alive[np.asarray(p.ids, np.int64)].sum()
+                )
+            self._df_dirty = False
         seg_lists = []
         for text in queries:
             segs = []
@@ -156,7 +208,10 @@ class TFIDFIndex:
                 if rng is None:
                     continue
                 start, length = rng
-                idf = get_idf(self.total_documents, length)
+                df = self._live_df.get(term, length)
+                if df <= 0:
+                    continue
+                idf = get_idf(self.live_documents, df)
                 for off in range(0, length, self.SEGCAP):
                     segs.append(
                         (start + off, min(self.SEGCAP, length - off), idf)

@@ -33,6 +33,13 @@ def make_mesh(n_devices: int | None = None, tp: int | None = None) -> Mesh:
     if tp is None:
         tp = 2 if n % 2 == 0 and n >= 4 else 1
     dp = n // tp
+    if dp < 1:
+        raise ValueError(
+            f"mesh needs at least tp={tp} devices, found {n} "
+            f"(jax.devices()={devs}); on CPU set "
+            "XLA_FLAGS=--xla_force_host_platform_device_count=<n> and "
+            "jax_platforms=cpu before the backend initializes"
+        )
     return Mesh(np.asarray(devs[: dp * tp]).reshape(dp, tp), ("dp", "tp"))
 
 

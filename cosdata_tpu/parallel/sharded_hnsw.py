@@ -55,8 +55,10 @@ class ShardedHNSWIndex:
                         initial_capacity=initial_capacity_per_shard,
                     )
                 )
-        # per-shard local row -> global id
+        # per-shard local row -> global id, plus the reverse map so delete
+        # is O(1) instead of a linear probe per shard
         self._global_of: list[list[int]] = [[] for _ in devices]
+        self._loc_of: dict[int, tuple[int, int]] = {}
         self.n = 0
 
     def add(self, x: np.ndarray) -> np.ndarray:
@@ -71,6 +73,9 @@ class ShardedHNSWIndex:
                 continue
             with jax.default_device(self.devices[s]):
                 self.shards[s].add(x[part])
+            base = len(self._global_of[s])
+            for j, g in enumerate(gids[part].tolist()):
+                self._loc_of[g] = (s, base + j)
             self._global_of[s].extend(gids[part].tolist())
         self.n += len(x)
         return gids
@@ -115,11 +120,8 @@ class ShardedHNSWIndex:
                 shard.refine()
 
     def delete(self, global_id: int) -> None:
-        for s, gmap in enumerate(self._global_of):
-            # ids are block-round-robin; linear probe per shard map
-            try:
-                row = gmap.index(int(global_id))
-            except ValueError:
-                continue
-            self.shards[s].delete(row)
+        loc = self._loc_of.pop(int(global_id), None)
+        if loc is None:
             return
+        s, row = loc
+        self.shards[s].delete(row)

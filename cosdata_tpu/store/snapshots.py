@@ -114,9 +114,11 @@ def save_collection_state(coll, snap_dir: str | Path) -> None:
             "avgdl": t.average_document_length,
             "configured": t.is_configured,
             "total_documents": t.total_documents,
+            "live_documents": t.live_documents,
             "n": t.n,
             "n_cap": t.n_cap,
             "alive": t._alive.tolist(),
+            "has_doc": t._has_doc.tolist(),
             "postings": [
                 (term, p.ids, t._tfs[term]) for term, p in t._postings.items()
             ],
@@ -226,9 +228,15 @@ def load_collection_state(coll, snap_dir: str | Path) -> None:
         t.average_document_length = data["avgdl"]
         t.is_configured = data["configured"]
         t.total_documents = data["total_documents"]
+        t.live_documents = data.get("live_documents", t.total_documents)
         t.n = data["n"]
         t.n_cap = data["n_cap"]
         t._alive = np.asarray(data["alive"], bool)
+        t._has_doc = (
+            np.asarray(data["has_doc"], bool)
+            if "has_doc" in data
+            else np.ones(t.n_cap, bool)
+        )
         t._alive_dev = None
         t._postings = {}
         t._tfs = {}

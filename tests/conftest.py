@@ -17,3 +17,24 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+# Build the native text pipeline if missing (the .so is intentionally not
+# committed — ADVICE r1: a checked-in binary can ship stale behavior).
+def _ensure_native_text():
+    import pathlib
+    import subprocess
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    so = root / "cosdata_tpu" / "text" / "_native.so"
+    if not so.exists():
+        try:
+            subprocess.run(
+                ["make", "-C", str(root / "csrc")],
+                check=True, capture_output=True, timeout=120,
+            )
+        except Exception:
+            pass  # tests skip gracefully when the toolchain is unavailable
+
+
+_ensure_native_text()
