@@ -2,33 +2,48 @@
 
 Re-design of the reference's power-of-4 trie of per-dimension quantized
 posting lists (/root/reference/src/models/inverted_index.rs:39-367,
-src/indexes/inverted/mod.rs) as host CSR arrays + a device
-scatter-accumulate/top-k kernel:
+src/indexes/inverted/mod.rs) as flat host CSR arrays + device scoring
+kernels:
 
-- postings per dimension sorted by quantized bucket **descending**, so the
-  reference's early-termination rule — low-valued query dims only scan the
-  top buckets (sparse_ann_query.rs:89-126) — becomes a prefix slice.
+- postings live in one flat array sorted by (dim asc, quantized bucket
+  **desc**), so the reference's early-termination rule — low-valued query
+  dims only scan the top buckets (sparse_ann_query.rs:89-126) — becomes a
+  prefix slice of the dim's range.
+- ingest is vectorized: adds only append numpy buffers (O(1) python work
+  per document); the CSR folds pending postings in with one stable sort +
+  two-run merge at flush/search time — never a per-(dim,value) python loop.
 - value quantization: ``clamp((v / upper_bound) * maxval, 0, maxval)``
   truncated to u8 (inverted_index.rs:168-172).
 - the values_upper_bound is auto-tuned from a sample histogram: smallest
   integer bound in 1..10 with <= clamp_margin_percent of values above it
   (inverted/mod.rs:194-247).
 - scoring: sum of (quantized query value × stored bucket) per matching dim,
-  exactly the reference's u32 dot product accumulation.
+  exactly the reference's u32 dot product accumulation. Small collections
+  use the dense scatter-add kernel; large ones the segment-sum kernel with
+  O(B × gathered) memory (never O(B × n_cap)).
 - optional exact re-rank against raw sparse pairs
-  (inverted/mod.rs:296-381), factor × k candidates.
+  (inverted/mod.rs:296-381), factor × k candidates, vectorized over each
+  query's candidates via searchsorted on the padded raw arrays.
+- deletes are tombstones; postings of dead documents are compacted out at
+  flush once they exceed a threshold.
 """
 
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
 
 import jax.numpy as jnp
 import numpy as np
 
 
 _PAD_MIN = 256
+
+#: collections at/below this capacity score through the dense scatter-add
+#: kernel; larger ones use the O(B x gathered) segment-sum kernel
+DENSE_SCORE_LIMIT = 1 << 17
+
+#: query-batch chunk for the segment-sum route (bounds the (B, PAD) sort)
+SEG_QUERY_CHUNK = 256
 
 
 def _next_pow2(x: int) -> int:
@@ -47,31 +62,32 @@ def tune_upper_bound(values: np.ndarray, clamp_margin_percent: float = 1.0) -> f
     return 10.0
 
 
-@dataclass
-class _Postings:
-    """Per-dimension postings kept sorted by bucket desc (lazy re-sort)."""
-
-    ids: list = field(default_factory=list)
-    buckets: list = field(default_factory=list)
-    sorted_ids: np.ndarray | None = None
-    sorted_buckets: np.ndarray | None = None
-
-    def ensure_sorted(self):
-        if self.sorted_ids is not None:
-            return
-        b = np.asarray(self.buckets, np.int32)
-        i = np.asarray(self.ids, np.int32)
-        order = np.argsort(-b, kind="stable")
-        self.sorted_ids = i[order]
-        self.sorted_buckets = b[order]
-
-    def invalidate(self):
-        self.sorted_ids = None
-        self.sorted_buckets = None
+def _merge_sorted(a_keys, a_vals: list, b_keys, b_vals: list):
+    """Merge two key-sorted runs (stable: a before b on ties). Returns
+    (keys, [vals...]) — O(n) placement + one searchsorted."""
+    na, nb = len(a_keys), len(b_keys)
+    if na == 0:
+        return b_keys, b_vals
+    if nb == 0:
+        return a_keys, a_vals
+    pos_a = np.arange(na) + np.searchsorted(b_keys, a_keys, side="left")
+    pos_b = np.arange(nb) + np.searchsorted(a_keys, b_keys, side="right")
+    out_keys = np.empty(na + nb, a_keys.dtype)
+    out_keys[pos_a] = a_keys
+    out_keys[pos_b] = b_keys
+    outs = []
+    for av, bv in zip(a_vals, b_vals):
+        o = np.empty(na + nb, av.dtype)
+        o[pos_a] = av
+        o[pos_b] = bv
+        outs.append(o)
+    return out_keys, outs
 
 
 class InvertedIndex:
     """Sparse index over (dim u32, value f32) pairs keyed by internal id."""
+
+    COMPACT_THRESHOLD = 0.25
 
     def __init__(
         self,
@@ -93,17 +109,31 @@ class InvertedIndex:
         self.is_configured = values_upper_bound is not None
         self.values_upper_bound = float(values_upper_bound or 1.0)
         self._sample: list[tuple[int, np.ndarray, np.ndarray]] = []
-        self._postings: dict[int, _Postings] = {}
-        self._raw: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        # pending ingest buffers (vectorized; folded into the CSR at build)
+        self._pend_docs: list[np.ndarray] = []
+        self._pend_dims: list[np.ndarray] = []
+        self._pend_buckets: list[np.ndarray] = []
+        # host CSR sorted by key = dim*256 + (255 - bucket)
+        self._h_keys = np.zeros(0, np.int64)
+        self._h_ids = np.zeros(0, np.int32)
+        self._h_buckets = np.zeros(0, np.int32)
+        self._csr_range: dict[int, tuple[int, int]] = {}
         self.n_cap = 1024
         self._alive = np.ones(self.n_cap, bool)
+        self._has_doc = np.zeros(self.n_cap, bool)
         self._alive_dev = None
         self.n = 0  # max internal id + 1 seen
-        # device-resident CSR (built lazily at search/flush time)
+        self.n_docs = 0
+        self.live_docs = 0
+        # raw pairs for exact rerank, padded (n_cap, max_nnz)
+        self._raw_nnz = np.zeros(self.n_cap, np.int32)
+        self._raw_max = 16
+        self._raw_dims = np.zeros((self.n_cap, self._raw_max), np.int64)
+        self._raw_vals = np.zeros((self.n_cap, self._raw_max), np.float32)
+        # device CSR mirrors (built lazily at search/flush time)
         self._csr_dirty = True
         self._csr_ids = None  # (P,) int32 device
         self._csr_vals = None  # (P,) f32 device (bucket values)
-        self._csr_range: dict[int, tuple[int, int]] = {}  # dim -> (start, len)
         #: per-(query, dim) device gather segment width
         self.SEGCAP = 512
 
@@ -119,7 +149,7 @@ class InvertedIndex:
         values = np.asarray(values, np.float32)
         if not self.is_configured:
             self._sample.append((internal_id, dims, values))
-            if sum(1 for _ in self._sample) >= self.sample_threshold:
+            if len(self._sample) >= self.sample_threshold:
                 self._finalize_sampling()
             return
         self._insert(internal_id, dims, values)
@@ -138,62 +168,128 @@ class InvertedIndex:
 
     def flush(self):
         """Index whatever is buffered even if the sample threshold wasn't hit
-        (the reference configures on pre-commit as well, indexes/mod.rs:85-118)."""
+        (the reference configures on pre-commit as well, indexes/mod.rs:85-118),
+        and compact tombstoned postings past the threshold."""
         if not self.is_configured:
             self._finalize_sampling()
+        self._maybe_compact()
+
+    def _grow_cap(self, need: int):
+        new_cap = _next_pow2(need)
+        grow = new_cap - self.n_cap
+        self._alive = np.concatenate([self._alive, np.ones(grow, bool)])
+        self._has_doc = np.concatenate([self._has_doc, np.zeros(grow, bool)])
+        self._raw_nnz = np.concatenate([self._raw_nnz, np.zeros(grow, np.int32)])
+        self._raw_dims = np.concatenate(
+            [self._raw_dims, np.zeros((grow, self._raw_max), np.int64)]
+        )
+        self._raw_vals = np.concatenate(
+            [self._raw_vals, np.zeros((grow, self._raw_max), np.float32)]
+        )
+        self.n_cap = new_cap
+        self._alive_dev = None
 
     def _insert(self, internal_id: int, dims: np.ndarray, values: np.ndarray):
         internal_id = int(internal_id)
+        nnz = len(dims)
         q = self.quantize(values)
-        for d, b in zip(dims.tolist(), q.tolist()):
-            p = self._postings.get(d)
-            if p is None:
-                p = self._postings[d] = _Postings()
-            p.ids.append(internal_id)
-            p.buckets.append(b)
-            p.invalidate()
-        if self.keep_raw:
-            self._raw[internal_id] = (dims, values)
+        self._pend_docs.append(np.full(nnz, internal_id, np.int32))
+        self._pend_dims.append(dims.astype(np.int64))
+        self._pend_buckets.append(q.astype(np.int32))
         self._csr_dirty = True
         if internal_id >= self.n:
             self.n = internal_id + 1
         if internal_id >= self.n_cap:
-            new_cap = _next_pow2(internal_id + 1)
-            self._alive = np.concatenate(
-                [self._alive, np.ones(new_cap - self.n_cap, bool)]
-            )
-            self.n_cap = new_cap
+            self._grow_cap(internal_id + 1)
+        if self.keep_raw:
+            if nnz > self._raw_max:
+                new_max = _next_pow2(nnz)
+                self._raw_dims = np.pad(
+                    self._raw_dims, ((0, 0), (0, new_max - self._raw_max))
+                )
+                self._raw_vals = np.pad(
+                    self._raw_vals, ((0, 0), (0, new_max - self._raw_max))
+                )
+                self._raw_max = new_max
+            order = np.argsort(dims, kind="stable")
+            self._raw_nnz[internal_id] = nnz
+            self._raw_dims[internal_id, :nnz] = dims[order]
+            self._raw_vals[internal_id, :nnz] = values[order]
+        if not self._has_doc[internal_id]:
+            self._has_doc[internal_id] = True
+            self.n_docs += 1
+            self.live_docs += 1
+        elif not self._alive[internal_id]:
+            self.live_docs += 1
+        if not self._alive[internal_id]:
+            self._alive[internal_id] = True
             self._alive_dev = None
 
     def delete(self, internal_id: int) -> None:
         if internal_id < self.n_cap:
+            if self._has_doc[internal_id] and self._alive[internal_id]:
+                self.live_docs -= 1
             self._alive[internal_id] = False
             self._alive_dev = None
-            self._raw.pop(int(internal_id), None)
+            self._raw_nnz[internal_id] = 0
+
+    def _maybe_compact(self):
+        """Drop dead documents' postings from the CSR (vectorized filter)."""
+        dead = self.n_docs - self.live_docs
+        if self.n_docs == 0 or dead / self.n_docs < self.COMPACT_THRESHOLD:
+            return
+        self._fold_pending()
+        keep = self._alive[self._h_ids]
+        if not keep.all():
+            self._h_keys = self._h_keys[keep]
+            self._h_ids = self._h_ids[keep]
+            self._h_buckets = self._h_buckets[keep]
+            self._rebuild_ranges()
+            self._csr_ids = None  # force device re-upload
+        self.n_docs = self.live_docs
 
     # ---------------------------------------------------------------- search
 
+    def _fold_pending(self):
+        """Merge pending postings into the sorted host CSR: one stable sort
+        of the delta + a two-run merge — no per-dim python loops."""
+        if not self._pend_docs:
+            return
+        docs = np.concatenate(self._pend_docs)
+        dims = np.concatenate(self._pend_dims)
+        buckets = np.concatenate(self._pend_buckets)
+        self._pend_docs, self._pend_dims, self._pend_buckets = [], [], []
+        keys = dims * 256 + (255 - buckets)
+        order = np.argsort(keys, kind="stable")
+        keys = keys[order]
+        docs = docs[order]
+        buckets = buckets[order]
+        self._h_keys, (self._h_ids, self._h_buckets) = _merge_sorted(
+            self._h_keys, [self._h_ids, self._h_buckets],
+            keys, [docs, buckets],
+        )
+        self._rebuild_ranges()
+        self._csr_ids = None
+
+    def _rebuild_ranges(self):
+        dims_sorted = self._h_keys >> 8
+        uniq, starts, counts = np.unique(
+            dims_sorted, return_index=True, return_counts=True
+        )
+        self._csr_range = {
+            int(d): (int(s), int(c)) for d, s, c in zip(uniq, starts, counts)
+        }
+
     def _build_csr(self):
-        """Upload the postings as one flat device CSR (dims sorted-by-bucket,
-        concatenated). Rebuilt per indexed transaction, not per query."""
-        if not self._csr_dirty:
-            return
-        ids_parts, val_parts = [], []
-        self._csr_range = {}
-        pos = 0
-        for dim, p in self._postings.items():
-            p.ensure_sorted()
-            ids_parts.append(p.sorted_ids)
-            val_parts.append(p.sorted_buckets.astype(np.float32))
-            self._csr_range[dim] = (pos, len(p.sorted_ids))
-            pos += len(p.sorted_ids)
-        if pos == 0:
-            self._csr_ids = None
+        """Fold pending postings and upload the device CSR if stale."""
+        if self._csr_dirty or self._csr_ids is None:
+            self._fold_pending()
+            if len(self._h_ids) == 0:
+                self._csr_ids = None
+            elif self._csr_ids is None or self._csr_dirty:
+                self._csr_ids = jnp.asarray(self._h_ids)
+                self._csr_vals = jnp.asarray(self._h_buckets.astype(np.float32))
             self._csr_dirty = False
-            return
-        self._csr_ids = jnp.asarray(np.concatenate(ids_parts).astype(np.int32))
-        self._csr_vals = jnp.asarray(np.concatenate(val_parts))
-        self._csr_dirty = False
 
     def _query_segments(self, pairs) -> list[tuple[int, int, float]]:
         """One query -> [(start, len, multiplier)] segment descriptors with
@@ -208,8 +304,8 @@ class InvertedIndex:
             start, length = rng
             qqv = int(self.quantize(np.float32(value)))
             if qqv <= low_threshold:
-                p = self._postings[int(dim)]
-                cut = int(np.searchsorted(-p.sorted_buckets, -etv, side="right"))
+                buckets = self._h_buckets[start : start + length]
+                cut = int(np.searchsorted(-buckets, -etv, side="right"))
                 length = min(length, cut)
             for off in range(0, length, self.SEGCAP):
                 segs.append((start + off, min(self.SEGCAP, length - off), float(qqv)))
@@ -226,7 +322,8 @@ class InvertedIndex:
         b = len(queries)
         if b == 0 or self.n == 0:
             return np.full((b, top_k), -1, np.int64), np.zeros((b, top_k), np.float32)
-        self.flush()
+        if not self.is_configured:
+            self._finalize_sampling()
         self._build_csr()
         if self._csr_ids is None:
             return np.full((b, top_k), -1, np.int64), np.zeros((b, top_k), np.float32)
@@ -234,7 +331,9 @@ class InvertedIndex:
             self._alive_dev = jnp.asarray(self._alive)
         k_fetch = min(top_k * (rerank_factor if rerank else 1), self.n_cap)
         seg_lists = [self._query_segments(q) for q in queries]
-        maxd = max(_PAD_MIN // 16, _next_pow2(max(len(s) for s in seg_lists)))
+        maxd = max(
+            _PAD_MIN // 16, _next_pow2(max(len(s) for s in seg_lists))
+        )
         starts = np.full((b, maxd), -1, np.int32)
         lens = np.zeros((b, maxd), np.int32)
         mults = np.zeros((b, maxd), np.float32)
@@ -243,15 +342,10 @@ class InvertedIndex:
                 starts[i, j] = s
                 lens[i, j] = l
                 mults[i, j] = mlt
-        from cosdata_tpu.ops.sparse_kernels import csr_accumulate_topk
-
-        scores, out_ids = csr_accumulate_topk(
-            jnp.asarray(starts), jnp.asarray(lens), jnp.asarray(mults),
-            self._csr_ids, self._csr_vals, self._alive_dev,
-            self.n_cap, k_fetch, self.SEGCAP,
+        out_ids, scores = _score_csr(
+            starts, lens, mults, self._csr_ids, self._csr_vals,
+            self._alive_dev, self.n_cap, k_fetch, self.SEGCAP,
         )
-        out_ids = np.asarray(out_ids, np.int64)
-        scores = np.asarray(scores)
         if rerank and self.keep_raw:
             out_ids, scores = self._rerank(queries, out_ids, top_k)
         else:
@@ -259,23 +353,64 @@ class InvertedIndex:
         return out_ids, scores
 
     def _rerank(self, queries, cand_ids, top_k):
-        """Exact dot on raw sparse pairs (inverted/mod.rs:331-381)."""
+        """Exact dot on raw sparse pairs (inverted/mod.rs:331-381) —
+        vectorized per query over all its candidates (raw dims are stored
+        sorted, so the sparse dot is one searchsorted + masked sum)."""
         b, kk = cand_ids.shape
         out_i = np.full((b, top_k), -1, np.int64)
         out_s = np.zeros((b, top_k), np.float32)
         for qi, q in enumerate(queries):
-            qmap = {int(d): float(v) for d, v in q}
-            scored = []
-            for cid in cand_ids[qi]:
-                if cid < 0:
-                    continue
-                raw = self._raw.get(int(cid))
-                if raw is None:
-                    continue
-                s = sum(qmap.get(int(d), 0.0) * float(v) for d, v in zip(*raw))
-                scored.append((s, int(cid)))
-            scored.sort(key=lambda t: -t[0])
-            for j, (s, cid) in enumerate(scored[:top_k]):
-                out_i[qi, j] = cid
-                out_s[qi, j] = s
+            if not len(q):
+                continue
+            qd = np.asarray([int(d) for d, _ in q], np.int64)
+            qv = np.asarray([float(v) for _, v in q], np.float32)
+            qo = np.argsort(qd, kind="stable")
+            qd, qv = qd[qo], qv[qo]
+            cids = cand_ids[qi]
+            cids = cids[cids >= 0]
+            if not len(cids):
+                continue
+            cd = self._raw_dims[cids]  # (C, MAXNNZ) sorted per row
+            cv = self._raw_vals[cids]
+            nnz = self._raw_nnz[cids][:, None]
+            pos = np.searchsorted(qd, cd)
+            pos_c = np.minimum(pos, len(qd) - 1)
+            hit = (qd[pos_c] == cd) & (
+                np.arange(cd.shape[1])[None, :] < nnz
+            )
+            scores = (np.where(hit, qv[pos_c], 0.0) * cv).sum(axis=1)
+            order = np.argsort(-scores, kind="stable")[:top_k]
+            out_i[qi, : len(order)] = cids[order]
+            out_s[qi, : len(order)] = scores[order]
         return out_i, out_s
+
+
+def _score_csr(starts, lens, mults, csr_ids, csr_vals, alive_dev,
+               n_cap: int, k_fetch: int, segcap: int):
+    """Route to the dense scatter kernel (small n_cap) or the segment-sum
+    kernel (large n_cap, O(B x gathered) memory), query-chunked."""
+    from cosdata_tpu.ops.sparse_kernels import (
+        csr_accumulate_topk,
+        csr_segment_topk,
+    )
+
+    b = starts.shape[0]
+    if n_cap <= DENSE_SCORE_LIMIT:
+        scores, out_ids = csr_accumulate_topk(
+            jnp.asarray(starts), jnp.asarray(lens), jnp.asarray(mults),
+            csr_ids, csr_vals, alive_dev, n_cap, k_fetch, segcap,
+        )
+        return np.asarray(out_ids, np.int64), np.asarray(scores)
+    outs = []
+    for s in range(0, b, SEG_QUERY_CHUNK):
+        e = min(s + SEG_QUERY_CHUNK, b)
+        outs.append(
+            csr_segment_topk(
+                jnp.asarray(starts[s:e]), jnp.asarray(lens[s:e]),
+                jnp.asarray(mults[s:e]), csr_ids, csr_vals, alive_dev,
+                k_fetch, segcap,
+            )
+        )
+    scores = np.concatenate([np.asarray(o[0]) for o in outs])
+    out_ids = np.concatenate([np.asarray(o[1], np.int64) for o in outs])
+    return out_ids, scores

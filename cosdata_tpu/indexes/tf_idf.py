@@ -22,9 +22,17 @@ import math
 import jax.numpy as jnp
 import numpy as np
 
-from cosdata_tpu.indexes.inverted import _Postings, _next_pow2, _PAD_MIN
-from cosdata_tpu.ops.sparse_kernels import accumulate_topk
+from dataclasses import dataclass, field
+
+from cosdata_tpu.indexes.inverted import _next_pow2, _PAD_MIN
 from cosdata_tpu.text.processing import count_tokens, process_text, process_text_query
+
+
+@dataclass
+class _Postings:
+    """Per-term posting list (doc ids, appended in insert order)."""
+
+    ids: list = field(default_factory=list)
 
 
 def get_idf(documents_count: int, documents_containing_term: int) -> float:
@@ -230,12 +238,11 @@ class TFIDFIndex:
                 mults[i, j] = m
         if self._alive_dev is None:
             self._alive_dev = jnp.asarray(self._alive)
-        from cosdata_tpu.ops.sparse_kernels import csr_accumulate_topk
+        from cosdata_tpu.indexes.inverted import _score_csr
 
         k_fetch = min(top_k, self.n_cap)
-        scores, out_ids = csr_accumulate_topk(
-            jnp.asarray(starts), jnp.asarray(lens), jnp.asarray(mults),
-            self._csr_ids, self._csr_vals, self._alive_dev,
-            self.n_cap, k_fetch, self.SEGCAP,
+        out_ids, scores = _score_csr(
+            starts, lens, mults, self._csr_ids, self._csr_vals,
+            self._alive_dev, self.n_cap, k_fetch, self.SEGCAP,
         )
-        return np.asarray(out_ids, np.int64), np.asarray(scores)
+        return out_ids, scores

@@ -90,21 +90,35 @@ def save_collection_state(coll, snap_dir: str | Path) -> None:
 
     if coll.sparse is not None:
         s = coll.sparse
+        s._fold_pending()
         data = {
             "bits": s.bits,
             "upper_bound": s.values_upper_bound,
             "configured": s.is_configured,
             "n": s.n,
             "n_cap": s.n_cap,
-            "alive": s._alive.tolist(),
-            "postings": [
-                (d, p.ids, p.buckets) for d, p in s._postings.items()
-            ],
-            "raw": [
-                (i, dd.tolist(), vv.tolist()) for i, (dd, vv) in s._raw.items()
+            "n_docs": s.n_docs,
+            "live_docs": s.live_docs,
+            "raw_max": s._raw_max,
+            "keep_raw": s.keep_raw,
+            "sample": [
+                (int(i), d.tolist(), v.tolist()) for i, d, v in s._sample
             ],
         }
         _atomic_write(snap_dir / "sparse.msgpack", msgpack.packb(data))
+        _save_npz(
+            snap_dir / "sparse.npz",
+            {
+                "h_keys": s._h_keys,
+                "h_ids": s._h_ids,
+                "h_buckets": s._h_buckets,
+                "alive": s._alive,
+                "has_doc": s._has_doc,
+                "raw_nnz": s._raw_nnz,
+                "raw_dims": s._raw_dims,
+                "raw_vals": s._raw_vals,
+            },
+        )
 
     if coll.tfidf is not None:
         t = coll.tfidf
@@ -196,8 +210,6 @@ def load_collection_state(coll, snap_dir: str | Path) -> None:
 
     sparse_p = snap_dir / "sparse.msgpack"
     if sparse_p.exists() and coll.sparse is not None:
-        from cosdata_tpu.indexes.inverted import _Postings
-
         with open(sparse_p, "rb") as f:
             data = msgpack.unpackb(f.read(), strict_map_key=False)
         s = coll.sparse
@@ -205,22 +217,32 @@ def load_collection_state(coll, snap_dir: str | Path) -> None:
         s.is_configured = data["configured"]
         s.n = data["n"]
         s.n_cap = data["n_cap"]
-        s._alive = np.asarray(data["alive"], bool)
+        s.n_docs = data["n_docs"]
+        s.live_docs = data["live_docs"]
+        s._raw_max = data["raw_max"]
+        s.keep_raw = data["keep_raw"]
+        s._sample = [
+            (i, np.asarray(d, np.int64), np.asarray(v, np.float32))
+            for i, d, v in data["sample"]
+        ]
+        z = np.load(snap_dir / "sparse.npz")
+        s._h_keys = np.asarray(z["h_keys"], np.int64)
+        s._h_ids = np.asarray(z["h_ids"], np.int32)
+        s._h_buckets = np.asarray(z["h_buckets"], np.int32)
+        s._alive = np.asarray(z["alive"], bool)
+        s._has_doc = np.asarray(z["has_doc"], bool)
+        s._raw_nnz = np.asarray(z["raw_nnz"], np.int32)
+        s._raw_dims = np.asarray(z["raw_dims"], np.int64)
+        s._raw_vals = np.asarray(z["raw_vals"], np.float32)
         s._alive_dev = None
-        s._postings = {}
-        for dim, ids, buckets in data["postings"]:
-            p = _Postings()
-            p.ids = list(ids)
-            p.buckets = list(buckets)
-            s._postings[int(dim)] = p
-        s._raw = {
-            int(i): (np.asarray(dd, np.int64), np.asarray(vv, np.float32))
-            for i, dd, vv in data["raw"]
-        }
+        s._csr_ids = None
+        s._csr_dirty = False
+        s._pend_docs, s._pend_dims, s._pend_buckets = [], [], []
+        s._rebuild_ranges()
 
     tf_p = snap_dir / "tfidf.msgpack"
     if tf_p.exists() and coll.tfidf is not None:
-        from cosdata_tpu.indexes.inverted import _Postings
+        from cosdata_tpu.indexes.tf_idf import _Postings
 
         with open(tf_p, "rb") as f:
             data = msgpack.unpackb(f.read(), strict_map_key=False)

@@ -163,3 +163,52 @@ class TestBM25:
             idx.add(i, d)
         ids, _ = idx.search(["tensor processing units"], top_k=2)
         assert ids[0, 0] == 2
+
+
+class TestSegmentRoute:
+    def test_segment_kernel_matches_dense(self, monkeypatch):
+        """The O(B x gathered) segment-sum route must produce exactly the
+        dense scatter route's results (route chosen by n_cap)."""
+        import cosdata_tpu.indexes.inverted as inv
+
+        dims_u, nnz = 500, 24
+        docs = _sparse_corpus(400, dims_u, nnz, seed=7)
+        queries = [
+            [(int(d), float(v)) for d, v in zip(*_sparse_corpus(1, dims_u, 12, seed=100 + i)[0])]
+            for i in range(9)
+        ]
+
+        def build():
+            idx = InvertedIndex(quantization=64, values_upper_bound=2.0)
+            for i, (d, v) in enumerate(docs):
+                idx.add(i, d, v)
+            idx.delete(5)
+            idx.delete(17)
+            return idx
+
+        a = build()
+        ids_dense, sc_dense = a.search(queries, top_k=10)
+        monkeypatch.setattr(inv, "DENSE_SCORE_LIMIT", 1)
+        b = build()
+        ids_seg, sc_seg = b.search(queries, top_k=10)
+        np.testing.assert_array_equal(ids_dense, ids_seg)
+        np.testing.assert_allclose(sc_dense, sc_seg, rtol=1e-5)
+        # rerank path on the segment route
+        ids_r, sc_r = b.search(queries, top_k=5, rerank=True)
+        assert ids_r.shape == (9, 5)
+        assert (sc_r[:, :-1] >= sc_r[:, 1:]).all()
+
+    def test_vectorized_ingest_and_compaction(self):
+        idx = InvertedIndex(quantization=64, values_upper_bound=2.0)
+        docs = _sparse_corpus(300, 200, 16, seed=3)
+        for i, (d, v) in enumerate(docs):
+            idx.add(i, d, v)
+        ids0, _ = idx.search([[(int(docs[3][0][0]), 1.0)]], top_k=5)
+        total_before = len(idx._h_ids) + sum(len(x) for x in idx._pend_docs)
+        for i in range(150):
+            idx.delete(i)
+        idx.flush()  # compaction drops dead postings
+        assert len(idx._h_ids) < total_before
+        assert idx.live_docs == 150
+        ids1, _ = idx.search([[(int(d), float(v)) for d, v in zip(*docs[200])]], top_k=5)
+        assert ids1[0, 0] == 200
