@@ -105,6 +105,9 @@ class DenseIndexHandle:
         # internal id <-> dense row maps
         self.row_of: dict[int, int] = {}
         self.internal_of: list[int] = []
+        #: row-map generation: bumped when compaction rebuilds the row
+        #: space, forcing the next maps snapshot to rewrite its base
+        self._gen = 0
         qt = quantization.get("type", "auto")
         if qt == "auto":
             self.sample_threshold = int(quantization.get("sample_threshold", 100))
@@ -224,6 +227,7 @@ class DenseIndexHandle:
         self.row_of = {iid: i for i, iid in enumerate(internals)}
         self.internal_of = list(internals)
         self.field_rows = {f: list(v) for f, v in old_fields.items()}
+        self._gen += 1
 
     def delete(self, internal_id: int):
         row = self.row_of.pop(internal_id, None)
@@ -329,8 +333,16 @@ class Collection:
         self.etoi: dict = {}
         self.itoe: dict[int, object] = {}
         self.dtoi: dict[object, list[int]] = {}
+        #: slim per-vector host records: id/document_id/metadata/text ONLY.
+        #: Dense and sparse values live in the device stores and are
+        #: reconstructed on GET (the reference likewise serves props from
+        #: the prop file, not a host map — file_persist.rs:16-157); keeping
+        #: them here tripled memory and made every snapshot O(collection)
         self.raw: dict[int, dict] = {}
         self.next_internal = 0
+        #: id-map deltas since the last snapshot (appended to maps.log —
+        #: O(delta) commit IO)
+        self._map_log: list = []
 
         # indexes
         self.dense: DenseIndexHandle | None = None
@@ -362,6 +374,7 @@ class Collection:
                 quantization=quantization,
                 hnsw_params=hnsw_params,
             )
+            self._persist_descriptors()
             return self.dense.descriptor
 
     def create_sparse_index(self, quantization: int = 64, sample_threshold: int = 1000,
@@ -381,6 +394,7 @@ class Collection:
                 "quantization": quantization,
                 "sample_threshold": sample_threshold,
             }
+            self._persist_descriptors()
             return self.sparse_descriptor
 
     def create_tf_idf_index(self, k1: float = 1.2, b: float = 0.75,
@@ -395,7 +409,13 @@ class Collection:
                 "index_type": "tf_idf", "k1": k1, "b": b,
                 "sample_threshold": sample_threshold,
             }
+            self._persist_descriptors()
             return self.tfidf_descriptor
+
+    def _persist_descriptors(self):
+        """Persist index configs (IndexOps::persist parity — the reference
+        writes index configs to LMDB at creation, indexes/mod.rs:159-174)."""
+        self.meta.put("indexes", self.name, self.list_indexes())
 
     def delete_index(self, index_type: str):
         with self.lock:
@@ -407,6 +427,7 @@ class Collection:
                 self.tfidf = None
             else:
                 raise ValueError(f"unknown index type {index_type}")
+            self._persist_descriptors()
 
     def list_indexes(self) -> list[dict]:
         out = []
@@ -557,7 +578,15 @@ class Collection:
                 doc = v.get("document_id")
                 if doc is not None:
                     self.dtoi.setdefault(doc, []).append(iid)
-                self.raw[iid] = v
+                rec = {"id": ext}
+                if doc is not None:
+                    rec["document_id"] = doc
+                if v.get("metadata") is not None:
+                    rec["metadata"] = v["metadata"]
+                if v.get("text") is not None:
+                    rec["text"] = v["text"]
+                self.raw[iid] = rec
+                self._map_log.append(("u", iid, rec))
                 if v.get("dense_values") is not None and self.dense is not None:
                     mids = (
                         self.schema.value_ids(v.get("metadata"))
@@ -585,6 +614,7 @@ class Collection:
             if iid is None:
                 return
             self.itoe.pop(iid, None)
+            self._map_log.append(("d", iid, external_id))
             rec = self.raw.pop(iid, None)
             if rec and rec.get("document_id") is not None:
                 lst = self.dtoi.get(rec["document_id"], [])
@@ -614,6 +644,7 @@ class Collection:
             save_collection_state(
                 self,
                 self.data_dir / f"snapshot-v{self.vcs.current_version}",
+                archive=True,
             )
 
     # --------------------------------------------------- streaming (implicit)
@@ -782,10 +813,35 @@ class Collection:
         iid = self.etoi.get(external_id)
         if iid is None:
             return None
-        return self.raw.get(iid)
+        return self._full_record(iid)
 
     def vectors_by_document(self, document_id) -> list[dict]:
-        return [self.raw[i] for i in self.dtoi.get(document_id, []) if i in self.raw]
+        out = []
+        for i in self.dtoi.get(document_id, []):
+            rec = self._full_record(i)
+            if rec is not None:
+                out.append(rec)
+        return out
+
+    def _full_record(self, iid: int) -> dict | None:
+        """Reconstruct the full vector record: slim host fields + values
+        gathered back from the index stores (vectors/repo.rs contract)."""
+        rec = self.raw.get(iid)
+        if rec is None:
+            return None
+        out = dict(rec)
+        out.setdefault("document_id", None)
+        d = self.dense
+        if d is not None and d.index is not None and d.index.store.keep_raw:
+            row = d.row_of.get(iid)
+            if row is not None:
+                vals = d.index.store.raw_rows(np.asarray([row]))[0]
+                out["dense_values"] = [float(x) for x in vals]
+        if self.sparse is not None:
+            pairs = self.sparse.raw_pairs(iid)
+            if pairs is not None:
+                out["sparse_values"] = pairs
+        return out
 
     # ---------------------------------------------------------------- info
 

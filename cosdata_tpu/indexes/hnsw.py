@@ -245,24 +245,6 @@ def _prune_candidates(
     return out_i.reshape(-1, m)[:n], out_s.reshape(-1, m)[:n]
 
 
-@functools.partial(jax.jit, static_argnames=("kk", "col0"))
-def _scatter_leaf_cands(cand_all, sc_all, rows, leaf_ids, leaf_sc, kk: int, col0: int):
-    """Scatter leaf-kNN results (rows (F,), ids (F, kk)) into the per-node
-    candidate table at column block [col0, col0+kk)."""
-    safe = jnp.where(rows >= 0, rows, cand_all.shape[0])
-    cand_all = jax.lax.dynamic_update_slice(
-        cand_all,
-        cand_all[:, col0 : col0 + kk].at[safe].set(leaf_ids, mode="drop"),
-        (0, col0),
-    )
-    sc_all = jax.lax.dynamic_update_slice(
-        sc_all,
-        sc_all[:, col0 : col0 + kk].at[safe].set(leaf_sc, mode="drop"),
-        (0, col0),
-    )
-    return cand_all, sc_all
-
-
 @functools.partial(jax.jit, static_argnames=("m",))
 def _top_m(cand_ids, cand_scores, m: int):
     top_s, pos = jax.lax.top_k(cand_scores, min(m, cand_scores.shape[1]))
@@ -344,6 +326,11 @@ class HNSWIndex:
         self.alive = jnp.ones((self.cap,), bool)
         self.n_deleted = 0
         self.rng = np.random.default_rng(seed)
+        from cosdata_tpu.store.chunked import DirtyTracker
+
+        #: adjacency-array dirty epochs ("adj0": store rows, "up": slot
+        #: rows) so snapshots rewrite only touched chunks (O(delta) IO)
+        self.tracker = DirtyTracker()
 
     # ------------------------------------------------------------------ util
 
@@ -481,6 +468,9 @@ class HNSWIndex:
         if lv[best] > self.entry_level or self.entry < 0:
             self.entry = int(ids[best])
             self.entry_level = int(lv[best])
+        self.tracker.bump()
+        self.tracker.mark_all("adj0", self.cap)
+        self.tracker.mark_all("up", self.cap_up)
         return ids
 
     #: members above this count build via RP-tree leaf kNN instead of the
@@ -502,8 +492,9 @@ class HNSWIndex:
         depth = max(int(np.ceil(np.log2(max(n_mem / leaf, 1.0)))), 0)
         num_leaves = 1 << depth
         if depth == 0:
-            out = np.full((1, n_mem), -1, np.int64)
-            out[0] = members
+            w = max(-(-n_mem // 512) * 512, 512)
+            out = np.full((1, w), -1, np.int64)
+            out[0, :n_mem] = members
             return out.astype(np.int32)
         rng = np.random.default_rng(seed)
         rot = rng.normal(size=(self.store.dim_pad, depth)).astype(np.float32)
@@ -525,7 +516,8 @@ class HNSWIndex:
             # subbyte without raw rows: random balanced partition (codes are
             # sign-ish bits; a projection on them adds little over random)
             perm = rng.permutation(n_mem)
-            l_max = -(-n_mem // num_leaves)
+            per_leaf = -(-n_mem // num_leaves)
+            l_max = -(-per_leaf // 512) * 512
             out = np.full((num_leaves, l_max), -1, np.int64)
             for i in range(num_leaves):
                 part = perm[i::num_leaves]
@@ -544,7 +536,10 @@ class HNSWIndex:
             half = (counts[seg] + 1) // 2
             seg = seg * 2 + (rank >= half)
         counts = np.bincount(seg, minlength=num_leaves)
-        l_max = int(counts.max())
+        # pad the leaf width to a 512 multiple: leaf_knn's compiled shape
+        # then varies over a handful of widths instead of one per level
+        # (each fresh XLA compile costs seconds on this platform)
+        l_max = -(-int(counts.max()) // 512) * 512
         starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
         rank = pos - starts[seg]
         out = np.full((num_leaves, l_max), -1, np.int64)
@@ -559,9 +554,9 @@ class HNSWIndex:
         n_mem = len(members)
         kk = min(2 * m_l, self.RP_LEAF - 1)
         trees = self.RP_TREES if n_mem > self.RP_LEAF else 1
-        cand = jnp.full((self.cap, trees * kk), -1, jnp.int32)
-        cand_sc = jnp.full((self.cap, trees * kk), NEG_INF, jnp.float32)
         kind = self._kind()
+        parts_i: list = []
+        parts_s: list = []
         for t in range(trees):
             order = self._rp_order(members, self.RP_LEAF, seed=101 + 31 * t + level)
             l_sz = order.shape[1]
@@ -571,27 +566,35 @@ class HNSWIndex:
                 self.store.metric, kind, self.store.dim_pad, min(kk, l_sz - 1),
                 leaf_chunk, jnp.asarray(order), self.store._arrays,
             )
-            flat_rows = jnp.asarray(order.reshape(-1))
+            # every member sits in exactly one leaf per tree: assemble its
+            # candidate row with an inverse-permutation *gather* (host
+            # argwhere + one device gather) — never a (cap, C) scatter table
+            flat = order.reshape(-1)
+            valid = flat >= 0
+            pos = np.zeros(self.cap, np.int64)
+            pos[flat[valid]] = np.flatnonzero(valid)
+            pos_mem = jnp.asarray(pos[members], jnp.int32)
             kk_t = ids_t.shape[-1]
+            ids_m = ids_t.reshape(-1, kk_t)[pos_mem]  # (n_mem, kk_t)
+            sc_m = sc_t.reshape(-1, kk_t)[pos_mem]
             if kk_t < kk:
-                ids_t = jnp.pad(
-                    ids_t, ((0, 0), (0, 0), (0, kk - kk_t)), constant_values=-1
+                ids_m = jnp.pad(
+                    ids_m, ((0, 0), (0, kk - kk_t)), constant_values=-1
                 )
-                sc_t = jnp.pad(
-                    sc_t, ((0, 0), (0, 0), (0, kk - kk_t)),
-                    constant_values=NEG_INF,
+                sc_m = jnp.pad(
+                    sc_m, ((0, 0), (0, kk - kk_t)), constant_values=NEG_INF
                 )
-            cand, cand_sc = _scatter_leaf_cands(
-                cand, cand_sc, flat_rows,
-                ids_t.reshape(-1, kk), sc_t.reshape(-1, kk), kk, t * kk,
-            )
+            parts_i.append(ids_m)
+            parts_s.append(sc_m)
+        cand_mem = parts_i[0] if trees == 1 else jnp.concatenate(parts_i, axis=1)
+        sc_mem = parts_s[0] if trees == 1 else jnp.concatenate(parts_s, axis=1)
         mem_dev = jnp.asarray(members.astype(np.int32))
         fwd_ids, fwd_d = _prune_candidates(
             self.store.metric, kind, self.store.dim_pad, m_l, 1024,
             p.neighbor_selection == "heuristic",
-            mem_dev, cand[mem_dev], cand_sc[mem_dev], self.store._arrays,
+            mem_dev, cand_mem, sc_mem, self.store._arrays,
         )
-        del cand, cand_sc
+        del cand_mem, sc_mem
         if level == 0:
             self.adj0 = self.adj0.at[mem_dev].set(fwd_ids)
             self.adj0_d = self.adj0_d.at[mem_dev].set(fwd_d)
@@ -834,6 +837,9 @@ class HNSWIndex:
         if lv[wave_best] > self.entry_level or self.entry < 0:
             self.entry = int(ids[wave_best])
             self.entry_level = int(lv[wave_best])
+        self.tracker.bump()
+        self.tracker.mark_rows("adj0", ids)
+        self.tracker.mark_rows("up", self.up_slot_host[ids])
         return ids
 
     def refine(self) -> None:
@@ -846,6 +852,9 @@ class HNSWIndex:
         n = self.n
         if n == 0 or self.entry < 0:
             return
+        self.tracker.bump()
+        self.tracker.mark_all("adj0", self.cap)
+        self.tracker.mark_all("up", self.cap_up)
         for start in range(0, n, p.wave_size):
             ids = np.arange(start, min(start + p.wave_size, n), dtype=np.int64)
             w = len(ids)
@@ -926,6 +935,10 @@ class HNSWIndex:
         order = np.lexsort((-d, v))
         u, v, d = u[order], v[order], d[order]
         uniq_v, starts, counts = np.unique(v, return_index=True, return_counts=True)
+        if level == 0:
+            self.tracker.mark_rows("adj0", uniq_v)
+        else:
+            self.tracker.mark_rows("up", self.up_slot_host[uniq_v])
         col = np.arange(len(v)) - np.repeat(starts, counts)
         grp = np.repeat(np.arange(len(uniq_v)), counts)
         # cap group width at the m closest incoming edges per target:

@@ -134,6 +134,10 @@ class InvertedIndex:
         self._csr_dirty = True
         self._csr_ids = None  # (P,) int32 device
         self._csr_vals = None  # (P,) f32 device (bucket values)
+        from cosdata_tpu.store.chunked import DirtyTracker
+
+        #: dirty epochs: "raw" = per-doc raw rows, "csr" = flat CSR arrays
+        self.tracker = DirtyTracker()
         #: per-(query, dim) device gather segment width
         self.SEGCAP = 512
 
@@ -215,6 +219,8 @@ class InvertedIndex:
             self._raw_nnz[internal_id] = nnz
             self._raw_dims[internal_id, :nnz] = dims[order]
             self._raw_vals[internal_id, :nnz] = values[order]
+            self.tracker.bump()
+            self.tracker.mark_range("raw", internal_id, internal_id + 1)
         if not self._has_doc[internal_id]:
             self._has_doc[internal_id] = True
             self.n_docs += 1
@@ -224,6 +230,28 @@ class InvertedIndex:
         if not self._alive[internal_id]:
             self._alive[internal_id] = True
             self._alive_dev = None
+
+    def raw_pairs(self, internal_id: int) -> list | None:
+        """Stored (dim, value) pairs of one live document (serves GET
+        /vectors/{id} reconstruction; the host no longer duplicates them)."""
+        internal_id = int(internal_id)
+        if (
+            not self.keep_raw
+            or internal_id >= self.n_cap
+            or not self._has_doc[internal_id]
+            or not self._alive[internal_id]
+        ):
+            return None
+        nnz = int(self._raw_nnz[internal_id])
+        if nnz == 0:
+            return None
+        return [
+            [int(d), float(v)]
+            for d, v in zip(
+                self._raw_dims[internal_id, :nnz],
+                self._raw_vals[internal_id, :nnz],
+            )
+        ]
 
     def delete(self, internal_id: int) -> None:
         if internal_id < self.n_cap:
@@ -244,6 +272,8 @@ class InvertedIndex:
             self._h_keys = self._h_keys[keep]
             self._h_ids = self._h_ids[keep]
             self._h_buckets = self._h_buckets[keep]
+            self.tracker.bump()
+            self.tracker.mark_all("csr", max(len(self._h_keys), 1))
             self._rebuild_ranges()
             self._csr_ids = None  # force device re-upload
         self.n_docs = self.live_docs
@@ -268,6 +298,8 @@ class InvertedIndex:
             self._h_keys, [self._h_ids, self._h_buckets],
             keys, [docs, buckets],
         )
+        self.tracker.bump()
+        self.tracker.mark_all("csr", len(self._h_keys))
         self._rebuild_ranges()
         self._csr_ids = None
 

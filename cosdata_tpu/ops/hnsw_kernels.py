@@ -407,43 +407,37 @@ def apply_reverse_edges(
     g_cap: int,
     chunk: int = 65536,
 ):
-    """Device-side reverse-edge application for bulk builds: group forward
-    edges by target with one sort, keep each target's best g_cap incoming,
-    then keep-m-closest-merge every row. Replaces the host lexsort that
-    dominated bulk-build time (VERDICT r1 #3); at 1M x 64 edges the sort is
-    a single fused device op instead of a 10s+ host pass."""
+    """Device-side reverse-edge application for bulk builds, sort-free:
+    forward edges are grouped per target by a scatter-max into a
+    (rows, g_cap) cell table with column = source % g_cap, then every row
+    gets a keep-m-closest merge. Column collisions keep only the best
+    colliding edge — acceptable, since reverse edges are candidate
+    refinements, not a correctness surface (the forward lists already hold
+    exact/near-exact kNN). The obvious sort-based grouping is off the
+    table: this device executes large 1-D sorts pathologically slowly
+    (a 4M-element lax.sort measured >9 min), while scatters of the same
+    volume run in <1 ms."""
     rows_n = adj.shape[0]
     w, mf = fwd_rows.shape
     e = w * mf
     tgt = fwd_rows.reshape(e)
     d_ = fwd_d.reshape(e)
     s_ = jnp.broadcast_to(src[:, None], (w, mf)).reshape(e)
-    bad = (tgt < 0) | (s_ < 0)
-    tgt_k = jnp.where(bad, jnp.int32(2**31 - 1), tgt)
-    d_k = jnp.where(bad, jnp.float32(NEG_INF), d_)
-    # lexicographic (target asc, score desc)
-    tgt_s, negd_s, s_sorted = jax.lax.sort(
-        (tgt_k, -d_k, s_), num_keys=2
-    )
-    idx = jnp.arange(e, dtype=jnp.int32)
-    mark = jnp.concatenate(
-        [jnp.ones((1,), bool), tgt_s[1:] != tgt_s[:-1]]
-    )
-    seg_start = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(mark, idx, 0)
-    )
-    rank = idx - seg_start
-    keep = (tgt_s < 2**31 - 1) & (rank < g_cap)
-    srow = jnp.where(keep, tgt_s, rows_n)  # out-of-range -> dropped
-    inc_ids = jnp.full((rows_n, g_cap), -1, jnp.int32)
+    ok = (tgt >= 0) & (s_ >= 0) & (d_ > NEG_INF / 2)
+    col = jnp.abs(s_) % g_cap
+    row_idx = jnp.where(ok, tgt, rows_n)  # out-of-range -> dropped
+    # per-cell best incoming distance
     inc_d = jnp.full((rows_n, g_cap), NEG_INF, jnp.float32)
-    col = jnp.minimum(rank, g_cap - 1)
-    inc_ids = inc_ids.at[srow, col].set(
-        jnp.where(keep, s_sorted, -1), mode="drop"
+    inc_d = inc_d.at[row_idx, col].max(
+        jnp.where(ok, d_, NEG_INF), mode="drop"
     )
-    inc_d = inc_d.at[srow, col].set(
-        jnp.where(keep, -negd_s, NEG_INF), mode="drop"
-    )
+    # winners write their id; ties pick an arbitrary winner at the same d
+    gathered = inc_d[jnp.minimum(row_idx, rows_n - 1), col]
+    is_win = ok & (d_ == gathered)
+    win_row = jnp.where(is_win, tgt, rows_n)
+    inc_ids = jnp.full((rows_n, g_cap), -1, jnp.int32)
+    inc_ids = inc_ids.at[win_row, col].set(s_, mode="drop")
+    inc_d = jnp.where(inc_ids >= 0, inc_d, NEG_INF)
     # chunked keep-m-closest merge with dedup over every row
     if rows_n <= chunk:
         return merge_neighbors(

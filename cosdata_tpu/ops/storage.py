@@ -69,11 +69,16 @@ class VectorStore:
     _raw: jax.Array | None = field(default=None, init=False)
 
     def __post_init__(self):
+        from cosdata_tpu.store.chunked import DirtyTracker
+
         self.dim_pad = _round_up(self.dim, _LANE)
         self.capacity = max(_round_up(self.initial_capacity, _LANE), _LANE)
         self._arrays = self._empty(self.capacity)
         if self.keep_raw:
             self._raw = jnp.zeros((self.capacity, self.dim_pad), jnp.float32)
+        #: row-chunk dirty epochs (one shared row space for all store
+        #: arrays) — lets snapshots write only touched chunks (O(delta) IO)
+        self.tracker = DirtyTracker()
 
     # -- allocation ---------------------------------------------------------
 
@@ -160,6 +165,8 @@ class VectorStore:
         if self.keep_raw:
             self._raw = jax.lax.dynamic_update_slice(self._raw, xj, (self.n, 0))
         ids = np.arange(self.n, self.n + b, dtype=np.int64)
+        self.tracker.bump()
+        self.tracker.mark_range("rows", self.n, self.n + b)
         self.n += b
         return ids
 

@@ -33,43 +33,110 @@ def _save_npz(path: Path, arrays: dict):
     os.replace(tmp, path)
 
 
-def save_collection_state(coll, snap_dir: str | Path) -> None:
-    snap_dir = Path(snap_dir)
-    snap_dir.mkdir(parents=True, exist_ok=True)
+def _dense_rows_state(coll):
+    d = coll.dense
+    if d is None:
+        return None
+    return {
+        "gen": getattr(d, "_gen", 0),
+        "internal_of": list(d.internal_of),
+        "field_rows": {f: list(v) for f, v in d.field_rows.items()},
+    }
 
+
+def _save_maps(coll, snap_dir: Path, archive: bool = False) -> None:
+    """Incremental id-map persistence: a compacted ``maps.msgpack`` base +
+    an append-only ``maps.log`` of per-commit deltas (the design role of the
+    reference's TreeMap dim/data files, tree_map.rs:22-665). A commit of a
+    small batch appends O(batch) bytes; the base is rewritten only when the
+    log outgrows it. ``archive=True`` (version-context history dirs) always
+    writes a standalone full base."""
+    base_p = snap_dir / "maps.msgpack"
+    log_p = snap_dir / "maps.log"
+    deltas = getattr(coll, "_map_log", None)
+    d = coll.dense
+    saved = getattr(coll, "_maps_saved", None)
+    can_increment = (
+        not archive
+        and base_p.exists()
+        and deltas is not None
+        and saved is not None
+        and (d is None or saved.get("dense_gen") == getattr(d, "_gen", 0))
+    )
+    if can_increment:
+        frame = {"ops": deltas}
+        if d is not None:
+            mark = saved.get("dense_mark", 0)
+            if len(d.internal_of) > mark:
+                frame["drows"] = {
+                    "internal_of": list(d.internal_of[mark:]),
+                    "field_rows": {
+                        f: list(v[mark:]) for f, v in d.field_rows.items()
+                    },
+                }
+            saved["dense_mark"] = len(d.internal_of)
+        if frame["ops"] or "drows" in frame:
+            with open(log_p, "ab") as f:
+                f.write(msgpack.packb(frame))
+                f.flush()
+                os.fsync(f.fileno())
+        coll._map_log = []
+        log_sz = log_p.stat().st_size if log_p.exists() else 0
+        if log_sz <= max(base_p.stat().st_size, 1 << 20):
+            return
     maps = {
         "etoi": list(coll.etoi.items()),
         "dtoi": list(coll.dtoi.items()),
         "raw": list(coll.raw.items()),
         "next_internal": coll.next_internal,
+        "dense_rows": _dense_rows_state(coll),
     }
-    _atomic_write(snap_dir / "maps.msgpack", msgpack.packb(maps))
+    _atomic_write(base_p, msgpack.packb(maps))
+    log_p.unlink(missing_ok=True)
+    if not archive:
+        if deltas is not None:
+            coll._map_log = []
+        coll._maps_saved = {
+            "dense_gen": getattr(d, "_gen", 0) if d is not None else None,
+            "dense_mark": len(d.internal_of) if d is not None else 0,
+        }
+
+
+def save_collection_state(coll, snap_dir: str | Path, archive: bool = False) -> None:
+    """Persist collection state into ``snap_dir``. ``archive=True`` marks a
+    one-shot version-context history dir (always full, self-contained)."""
+    from cosdata_tpu.store.chunked import save_chunked
+
+    snap_dir = Path(snap_dir)
+    snap_dir.mkdir(parents=True, exist_ok=True)
+
+    _save_maps(coll, snap_dir, archive=archive)
 
     if coll.dense is not None and coll.dense.index is not None:
         d = coll.dense
         idx = d.index
         vs = idx.store
+        # big row-major arrays: dirty-chunk writes (clean chunks never
+        # leave the device); small per-row scalars ride one npz
+        save_chunked(snap_dir, "adj0", idx.adj0, idx.tracker.view("adj0"))
+        save_chunked(snap_dir, "adj0_d", idx.adj0_d, idx.tracker.view("adj0"))
+        save_chunked(snap_dir, "up_adj", idx.up_adj, idx.tracker.view("up"))
+        save_chunked(snap_dir, "up_d", idx.up_d, idx.tracker.view("up"))
+        st = vs.tracker.view("rows")
+        if vs.kind == "subbyte":
+            save_chunked(snap_dir, "planes", vs._arrays.planes, st, axis=1)
+        else:
+            save_chunked(snap_dir, "data", vs._arrays.data, st)
+        if vs._raw is not None:
+            save_chunked(snap_dir, "raw", vs._raw, st)
         arrays = {
-            "adj0": idx.adj0,
-            "adj0_d": idx.adj0_d,
-            "up_adj": idx.up_adj,
-            "up_d": idx.up_d,
             "up_slot": idx.up_slot,
             "levels": idx.levels,
             "alive": idx.alive,
+            "mags": vs._arrays.mags,
         }
-        if vs.kind == "subbyte":
-            arrays.update(
-                planes=vs._arrays.planes, sums=vs._arrays.sums, mags=vs._arrays.mags
-            )
-        elif vs.kind == "u8":
-            arrays.update(
-                data=vs._arrays.data, sums=vs._arrays.sums, mags=vs._arrays.mags
-            )
-        else:
-            arrays.update(data=vs._arrays.data, mags=vs._arrays.mags)
-        if vs._raw is not None:
-            arrays["raw"] = vs._raw
+        if vs.kind in ("u8", "subbyte"):
+            arrays["sums"] = vs._arrays.sums
         _save_npz(snap_dir / "dense.npz", arrays)
         meta = {
             "kind": vs.kind,
@@ -83,8 +150,6 @@ def save_collection_state(coll, snap_dir: str | Path) -> None:
             "n_deleted": idx.n_deleted,
             "level_counts": [int(x) for x in idx.level_counts],
             "configured_range": list(d.range),
-            "row_of": list(d.row_of.items()),
-            "internal_of": d.internal_of,
         }
         _atomic_write(snap_dir / "dense.msgpack", msgpack.packb(meta))
 
@@ -109,16 +174,18 @@ def save_collection_state(coll, snap_dir: str | Path) -> None:
         _save_npz(
             snap_dir / "sparse.npz",
             {
-                "h_keys": s._h_keys,
-                "h_ids": s._h_ids,
-                "h_buckets": s._h_buckets,
                 "alive": s._alive,
                 "has_doc": s._has_doc,
                 "raw_nnz": s._raw_nnz,
-                "raw_dims": s._raw_dims,
-                "raw_vals": s._raw_vals,
             },
         )
+        csr_t = s.tracker.view("csr")
+        save_chunked(snap_dir, "sp_keys", s._h_keys, csr_t)
+        save_chunked(snap_dir, "sp_ids", s._h_ids, csr_t)
+        save_chunked(snap_dir, "sp_buckets", s._h_buckets, csr_t)
+        raw_t = s.tracker.view("raw")
+        save_chunked(snap_dir, "sp_raw_dims", s._raw_dims, raw_t)
+        save_chunked(snap_dir, "sp_raw_vals", s._raw_vals, raw_t)
 
     if coll.tfidf is not None:
         t = coll.tfidf
@@ -140,9 +207,56 @@ def save_collection_state(coll, snap_dir: str | Path) -> None:
         _atomic_write(snap_dir / "tfidf.msgpack", msgpack.packb(data))
 
 
+def _replay_map_log(coll, dense_rows, log_p: Path):
+    """Apply maps.log frames on top of the loaded base."""
+    with open(log_p, "rb") as f:
+        unpacker = msgpack.Unpacker(f, strict_map_key=False)
+        for frame in unpacker:
+            for op in frame.get("ops", []):
+                if op[0] == "u":
+                    _, iid, rec = op
+                    iid = int(iid)
+                    ext = rec["id"]
+                    old = coll.etoi.get(ext)
+                    if old is not None and old != iid:
+                        coll.itoe.pop(old, None)
+                        old_rec = coll.raw.pop(old, None)
+                        if old_rec and old_rec.get("document_id") is not None:
+                            lst = coll.dtoi.get(old_rec["document_id"], [])
+                            if old in lst:
+                                lst.remove(old)
+                    coll.etoi[ext] = iid
+                    coll.itoe[iid] = ext
+                    coll.raw[iid] = rec
+                    if rec.get("document_id") is not None:
+                        coll.dtoi.setdefault(rec["document_id"], []).append(iid)
+                    coll.next_internal = max(coll.next_internal, iid + 1)
+                else:  # ("d", iid, ext)
+                    _, iid, ext = op
+                    iid = int(iid)
+                    coll.etoi.pop(ext, None)
+                    coll.itoe.pop(iid, None)
+                    rec = coll.raw.pop(iid, None)
+                    if rec and rec.get("document_id") is not None:
+                        lst = coll.dtoi.get(rec["document_id"], [])
+                        if iid in lst:
+                            lst.remove(iid)
+            drows = frame.get("drows")
+            if drows is not None and dense_rows is not None:
+                dense_rows["internal_of"].extend(drows["internal_of"])
+                for fld, vals in drows["field_rows"].items():
+                    base_len = len(dense_rows["internal_of"]) - len(vals)
+                    cur = dense_rows["field_rows"].setdefault(
+                        fld, [-1] * base_len
+                    )
+                    cur.extend(vals)
+    return dense_rows
+
+
 def load_collection_state(coll, snap_dir: str | Path) -> None:
     snap_dir = Path(snap_dir)
     maps_path = snap_dir / "maps.msgpack"
+    dense_rows = None
     if maps_path.exists():
         with open(maps_path, "rb") as f:
             maps = msgpack.unpackb(f.read(), strict_map_key=False)
@@ -151,14 +265,27 @@ def load_collection_state(coll, snap_dir: str | Path) -> None:
         coll.dtoi = {k: list(v) for k, v in maps["dtoi"]}
         coll.raw = {int(k): v for k, v in maps["raw"]}
         coll.next_internal = maps["next_internal"]
+        dense_rows = maps.get("dense_rows")
+        if dense_rows is not None:
+            dense_rows = {
+                "gen": dense_rows["gen"],
+                "internal_of": list(dense_rows["internal_of"]),
+                "field_rows": {
+                    f: list(v) for f, v in dense_rows["field_rows"].items()
+                },
+            }
+        log_p = snap_dir / "maps.log"
+        if log_p.exists():
+            dense_rows = _replay_map_log(coll, dense_rows, log_p)
 
     dense_meta_p = snap_dir / "dense.msgpack"
     if dense_meta_p.exists() and coll.dense is not None:
-        from cosdata_tpu.ops import quantize as Q
+        from cosdata_tpu.store.chunked import load_chunked
 
         with open(dense_meta_p, "rb") as f:
             meta = msgpack.unpackb(f.read(), strict_map_key=False)
         z = np.load(snap_dir / "dense.npz")
+        adj0 = load_chunked(snap_dir, "adj0")
         d = coll.dense
         d.kind = meta["kind"]
         d.resolution = meta["resolution"]
@@ -166,36 +293,39 @@ def load_collection_state(coll, snap_dir: str | Path) -> None:
         d._build()
         idx = d.index
         vs = idx.store
-        cap = int(z["adj0"].shape[0])
+        cap = int(adj0.shape[0])
         # rebuild the store at snapshot capacity
         vs.capacity = cap
         vs.range = tuple(meta["range"])
         empty = vs._empty(cap)  # rebuilds the dequant scalars from range/dim
         if meta["kind"] == "subbyte":
             vs._arrays = empty._replace(
-                planes=jnp.asarray(z["planes"]),
+                planes=jnp.asarray(load_chunked(snap_dir, "planes")),
                 sums=jnp.asarray(z["sums"]),
                 mags=jnp.asarray(z["mags"]),
             )
         elif meta["kind"] == "u8":
             vs._arrays = empty._replace(
-                data=jnp.asarray(z["data"]),
+                data=jnp.asarray(load_chunked(snap_dir, "data")),
                 sums=jnp.asarray(z["sums"]),
                 mags=jnp.asarray(z["mags"]),
             )
         else:
             vs._arrays = empty._replace(
-                data=jnp.asarray(z["data"]), mags=jnp.asarray(z["mags"])
+                data=jnp.asarray(load_chunked(snap_dir, "data")),
+                mags=jnp.asarray(z["mags"]),
             )
-        vs._raw = jnp.asarray(z["raw"]) if "raw" in z.files else None
+        raw_np = load_chunked(snap_dir, "raw")
+        vs._raw = jnp.asarray(raw_np) if raw_np is not None else None
+        del raw_np
         vs.keep_raw = vs._raw is not None
         vs.n = int(meta["n"])
         idx.cap = cap
-        idx.adj0 = jnp.asarray(z["adj0"])
-        idx.adj0_d = jnp.asarray(z["adj0_d"])
-        idx.up_adj = jnp.asarray(z["up_adj"])
+        idx.adj0 = jnp.asarray(adj0)
+        idx.adj0_d = jnp.asarray(load_chunked(snap_dir, "adj0_d"))
+        idx.up_adj = jnp.asarray(load_chunked(snap_dir, "up_adj"))
         idx.cap_up = int(idx.up_adj.shape[0])
-        idx.up_d = jnp.asarray(z["up_d"])
+        idx.up_d = jnp.asarray(load_chunked(snap_dir, "up_d"))
         idx.up_slot = jnp.asarray(z["up_slot"])
         idx.up_slot_host = np.asarray(z["up_slot"]).astype(np.int32)
         idx.levels = np.asarray(z["levels"])
@@ -205,8 +335,32 @@ def load_collection_state(coll, snap_dir: str | Path) -> None:
         idx.entry_level = int(meta["entry_level"])
         idx.n_deleted = int(meta["n_deleted"])
         idx.level_counts = np.asarray(meta["level_counts"], np.int64)
-        d.row_of = {int(k): int(v) for k, v in meta["row_of"]}
-        d.internal_of = [int(x) for x in meta["internal_of"]]
+        if dense_rows is not None:
+            d._gen = int(dense_rows["gen"])
+            d.internal_of = [int(x) for x in dense_rows["internal_of"]]
+            d.field_rows = {
+                f: [int(x) for x in v]
+                for f, v in dense_rows["field_rows"].items()
+            }
+            alive_np = np.asarray(z["alive"])
+            d.row_of = {
+                int(iid): r
+                for r, iid in enumerate(d.internal_of)
+                if alive_np[r]
+            }
+        from cosdata_tpu.store.chunked import adopt_tracker
+
+        adopt_tracker(
+            snap_dir, idx.tracker, ["adj0", "adj0_d", "up_adj", "up_d"]
+        )
+        store_names = ["planes" if meta["kind"] == "subbyte" else "data"]
+        if vs._raw is not None:
+            store_names.append("raw")
+        adopt_tracker(snap_dir, vs.tracker, store_names)
+        coll._maps_saved = {
+            "dense_gen": getattr(d, "_gen", 0),
+            "dense_mark": len(d.internal_of),
+        }
 
     sparse_p = snap_dir / "sparse.msgpack"
     if sparse_p.exists() and coll.sparse is not None:
@@ -225,15 +379,26 @@ def load_collection_state(coll, snap_dir: str | Path) -> None:
             (i, np.asarray(d, np.int64), np.asarray(v, np.float32))
             for i, d, v in data["sample"]
         ]
+        from cosdata_tpu.store.chunked import adopt_tracker, load_chunked
+
         z = np.load(snap_dir / "sparse.npz")
-        s._h_keys = np.asarray(z["h_keys"], np.int64)
-        s._h_ids = np.asarray(z["h_ids"], np.int32)
-        s._h_buckets = np.asarray(z["h_buckets"], np.int32)
+        s._h_keys = np.asarray(load_chunked(snap_dir, "sp_keys"), np.int64)
+        s._h_ids = np.asarray(load_chunked(snap_dir, "sp_ids"), np.int32)
+        s._h_buckets = np.asarray(
+            load_chunked(snap_dir, "sp_buckets"), np.int32
+        )
         s._alive = np.asarray(z["alive"], bool)
         s._has_doc = np.asarray(z["has_doc"], bool)
         s._raw_nnz = np.asarray(z["raw_nnz"], np.int32)
-        s._raw_dims = np.asarray(z["raw_dims"], np.int64)
-        s._raw_vals = np.asarray(z["raw_vals"], np.float32)
+        s._raw_dims = np.asarray(load_chunked(snap_dir, "sp_raw_dims"), np.int64)
+        s._raw_vals = np.asarray(
+            load_chunked(snap_dir, "sp_raw_vals"), np.float32
+        )
+        adopt_tracker(
+            snap_dir,
+            s.tracker,
+            ["sp_keys", "sp_ids", "sp_buckets", "sp_raw_dims", "sp_raw_vals"],
+        )
         s._alive_dev = None
         s._csr_ids = None
         s._csr_dirty = False

@@ -113,3 +113,110 @@ class TestMetaStore:
         m.close()
         m2 = MetaStore(p)
         assert m2.get("db", "key") == [1, 2]
+
+
+class TestIncrementalSnapshots:
+    """O(delta) snapshot IO (file_persist.rs:16-157's design role): a small
+    commit into a large collection must not rewrite the whole state."""
+
+    def _mtimes(self, snap):
+        return {
+            f.name: f.stat().st_mtime_ns
+            for f in snap.rglob("*")
+            if f.is_file()
+        }
+
+    def test_small_commit_writes_o_delta(self, tmp_path):
+        from cosdata_tpu.config import load_config
+        from cosdata_tpu.core.app_context import AppContext
+
+        ctx = AppContext(
+            load_config(data_path=str(tmp_path / "data")), admin_key="t"
+        )
+        coll = ctx.create_collection(
+            {"name": "big", "dense_vector": {"enabled": True, "dimension": 32}}
+        )
+        coll.create_dense_index(
+            quantization={"type": "scalar", "data_type": "u8",
+                          "range": {"min": -1.0, "max": 1.0}},
+            hnsw_params={"num_layers": 2, "wave_size": 64},
+        )
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(300, 32)).astype(np.float32)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        coll.stream_upsert(
+            [{"id": f"v{i}", "dense_values": x[i].tolist()} for i in range(200)]
+        )
+        coll.close_epoch()
+        snap = coll.data_dir / "snapshot"
+        before = self._mtimes(snap)
+        base_size = (snap / "maps.msgpack").stat().st_size
+
+        # small delta commit
+        coll.stream_upsert(
+            [{"id": f"w{i}", "dense_values": x[200 + i].tolist()}
+             for i in range(5)]
+        )
+        coll.close_epoch()
+        after = self._mtimes(snap)
+        # the maps base must NOT be rewritten — deltas ride the log
+        assert before["maps.msgpack"] == after["maps.msgpack"]
+        assert (snap / "maps.log").exists()
+        assert (snap / "maps.log").stat().st_size < base_size
+        # raw/data store chunks: only the touched chunk exists (single chunk
+        # at this size) but adj files were rewritten at most once each —
+        # sanity: no file got larger than the full state
+        # restart restores everything incl. the log tail
+        ctx2 = AppContext(
+            load_config(data_path=str(tmp_path / "data")), admin_key="t"
+        )
+        c2 = ctx2.get_collection("big")
+        assert c2.get_vector("w3") is not None
+        assert len(c2.get_vector("w3")["dense_values"]) == 32
+        got = c2.search_dense([x[201].tolist()], top_k=3)
+        assert got[0][0]["id"] == "w1"
+
+    def test_chunked_roundtrip_and_dirty_skip(self, tmp_path):
+        from cosdata_tpu.store.chunked import (
+            CHUNK_ROWS,
+            DirtyTracker,
+            load_chunked,
+            save_chunked,
+        )
+
+        tr = DirtyTracker()
+        arr = np.arange(100 * 4, dtype=np.int32).reshape(100, 4)
+        tr.bump()
+        tr.mark_range("a", 0, 100)
+        save_chunked(tmp_path, "a", arr, tr.view("a"))
+        out = load_chunked(tmp_path, "a")
+        assert np.array_equal(out, arr)
+        # clean save: chunk file untouched
+        files = sorted(tmp_path.glob("a.c*.npy"))
+        m0 = files[0].stat().st_mtime_ns
+        save_chunked(tmp_path, "a", arr, tr.view("a"))
+        assert files[0].stat().st_mtime_ns == m0
+        # dirty rows: rewritten
+        tr.bump()
+        tr.mark_rows("a", np.asarray([7]))
+        arr[7] = -1
+        save_chunked(tmp_path, "a", arr, tr.view("a"))
+        assert np.array_equal(load_chunked(tmp_path, "a"), arr)
+
+    def test_generation_change_forces_full(self, tmp_path):
+        from cosdata_tpu.store.chunked import (
+            DirtyTracker,
+            load_chunked,
+            save_chunked,
+        )
+
+        tr = DirtyTracker()
+        arr = np.ones((10, 2), np.float32)
+        tr.bump()
+        tr.mark_range("a", 0, 10)
+        save_chunked(tmp_path, "a", arr, tr.view("a"))
+        # a rebuilt structure: fresh tracker, fresh epochs, changed data
+        tr2 = DirtyTracker()
+        arr2 = np.zeros((10, 2), np.float32)
+        save_chunked(tmp_path, "a", arr2, tr2.view("a"))
+        assert np.array_equal(load_chunked(tmp_path, "a"), arr2)
