@@ -57,11 +57,30 @@ class Server:
         self.ctx = ctx
         self.sessions = SessionManager(ctx.admin_key)
         self.app = web.Application(
-            client_max_size=JSON_LIMIT, middlewares=[self._auth_middleware]
+            client_max_size=JSON_LIMIT,
+            middlewares=[self._cors_middleware, self._auth_middleware],
         )
         self._routes()
 
     # -------------------------------------------------------------- plumbing
+
+    _CORS_HEADERS = {
+        # permissive CORS, matching the reference (web_server.rs:51
+        # Cors::permissive())
+        "Access-Control-Allow-Origin": "*",
+        "Access-Control-Allow-Methods": "GET, POST, PUT, DELETE, HEAD, OPTIONS",
+        "Access-Control-Allow-Headers": "*",
+        "Access-Control-Max-Age": "3600",
+    }
+
+    @web.middleware
+    async def _cors_middleware(self, request, handler):
+        if request.method == "OPTIONS":
+            return web.Response(status=204, headers=self._CORS_HEADERS)
+        resp = await handler(request)
+        for k, v in self._CORS_HEADERS.items():
+            resp.headers.setdefault(k, v)
+        return resp
 
     @web.middleware
     async def _auth_middleware(self, request, handler):

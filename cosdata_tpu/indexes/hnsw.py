@@ -546,15 +546,50 @@ class HNSWIndex:
         out[seg, rank] = members[order]
         return out.astype(np.int32)
 
+    #: upper levels at or below this member count build in ONE fused exact
+    #: program (member x member MXU block) instead of the RP pipeline
+    UPPER_EXACT_MAX = 4096
+
+    @staticmethod
+    def _bucket(n: int, lo: int = 1024) -> int:
+        """Round up to {2^k, 1.5*2^k}: bounded compile variants (each fresh
+        program pays a multi-second first-load on this platform), <=25%
+        padding waste."""
+        v = lo
+        while v < n:
+            if (v & (v - 1)) == 0 and n <= v * 3 // 2:
+                return v * 3 // 2
+            v *= 2
+        return v
+
     def _bulk_level_rp(self, members: np.ndarray, m_l: int, level: int):
-        """RP-tree bulk construction of one level: per-tree exact leaf kNN
-        -> cross-tree candidate merge + diversity prune -> device reverse
-        edges -> (level 0 only) NN-descent refinement rounds."""
+        """RP-tree bulk construction of one level, organized to touch as few
+        distinct compiled programs as possible: per-tree fused
+        leaf-kNN+gather -> diversity prune -> one fused tail program
+        (forward writes + reverse edges + NN-descent rounds). Small upper
+        levels collapse into a single exact program."""
         p = self.params
         n_mem = len(members)
+        kind = self._kind()
+        heur = p.neighbor_selection == "heuristic"
+        if level >= 1 and n_mem <= self.UPPER_EXACT_MAX:
+            mp = self._bucket(n_mem, 512)
+            mem_pad = np.full(mp, -1, np.int32)
+            mem_pad[:n_mem] = members
+            slots_pad = np.full(mp, -1, np.int32)
+            slots_pad[:n_mem] = self.up_slot_host[members]
+            adj_l, dist_l = HK.upper_level_exact(
+                self.store.metric, kind, self.store.dim_pad, m_l, heur,
+                jnp.asarray(mem_pad), jnp.asarray(slots_pad), self.up_slot,
+                self.up_adj[:, level - 1], self.up_d[:, level - 1],
+                self.store._arrays,
+            )
+            self.up_adj = self.up_adj.at[:, level - 1].set(adj_l)
+            self.up_d = self.up_d.at[:, level - 1].set(dist_l)
+            return
         kk = min(2 * m_l, self.RP_LEAF - 1)
         trees = self.RP_TREES if n_mem > self.RP_LEAF else 1
-        kind = self._kind()
+        mp = self._bucket(n_mem, 1024)
         parts_i: list = []
         parts_s: list = []
         for t in range(trees):
@@ -562,67 +597,45 @@ class HNSWIndex:
             l_sz = order.shape[1]
             # bound the (lc, L, L) score block to ~256 MB
             leaf_chunk = max(1, (1 << 26) // max(l_sz * l_sz, 1))
-            ids_t, sc_t = HK.leaf_knn(
-                self.store.metric, kind, self.store.dim_pad, min(kk, l_sz - 1),
-                leaf_chunk, jnp.asarray(order), self.store._arrays,
-            )
-            # every member sits in exactly one leaf per tree: assemble its
-            # candidate row with an inverse-permutation *gather* (host
-            # argwhere + one device gather) — never a (cap, C) scatter table
+            # every member sits in exactly one leaf per tree: its candidate
+            # row comes from an inverse-permutation gather fused into the
+            # leaf-kNN program
             flat = order.reshape(-1)
             valid = flat >= 0
             pos = np.zeros(self.cap, np.int64)
             pos[flat[valid]] = np.flatnonzero(valid)
-            pos_mem = jnp.asarray(pos[members], jnp.int32)
-            kk_t = ids_t.shape[-1]
-            ids_m = ids_t.reshape(-1, kk_t)[pos_mem]  # (n_mem, kk_t)
-            sc_m = sc_t.reshape(-1, kk_t)[pos_mem]
-            if kk_t < kk:
-                ids_m = jnp.pad(
-                    ids_m, ((0, 0), (0, kk - kk_t)), constant_values=-1
-                )
-                sc_m = jnp.pad(
-                    sc_m, ((0, 0), (0, kk - kk_t)), constant_values=NEG_INF
-                )
+            pos_mem = np.full(mp, -1, np.int32)
+            pos_mem[:n_mem] = pos[members]
+            ids_m, sc_m = HK.leaf_knn_gather(
+                self.store.metric, kind, self.store.dim_pad, kk, leaf_chunk,
+                jnp.asarray(order), jnp.asarray(pos_mem), self.store._arrays,
+            )
             parts_i.append(ids_m)
             parts_s.append(sc_m)
         cand_mem = parts_i[0] if trees == 1 else jnp.concatenate(parts_i, axis=1)
         sc_mem = parts_s[0] if trees == 1 else jnp.concatenate(parts_s, axis=1)
-        mem_dev = jnp.asarray(members.astype(np.int32))
+        mem_pad = np.full(mp, -1, np.int32)
+        mem_pad[:n_mem] = members
+        mem_dev = jnp.asarray(mem_pad)
         fwd_ids, fwd_d = _prune_candidates(
-            self.store.metric, kind, self.store.dim_pad, m_l, 1024,
-            p.neighbor_selection == "heuristic",
+            self.store.metric, kind, self.store.dim_pad, m_l, 1024, heur,
             mem_dev, cand_mem, sc_mem, self.store._arrays,
         )
         del cand_mem, sc_mem
         if level == 0:
-            self.adj0 = self.adj0.at[mem_dev].set(fwd_ids)
-            self.adj0_d = self.adj0_d.at[mem_dev].set(fwd_d)
-            self.adj0, self.adj0_d = HK.apply_reverse_edges(
-                self.adj0, self.adj0_d, mem_dev, fwd_ids, fwd_d, m_l, m_l
+            self.adj0, self.adj0_d = HK.finalize_level0(
+                self.store.metric, kind, self.store.dim_pad, m_l,
+                self.NN_DESCENT_ROUNDS, 16, 256,
+                self.adj0, self.adj0_d, mem_dev, fwd_ids, fwd_d,
+                self.store._arrays,
             )
-            for _ in range(self.NN_DESCENT_ROUNDS):
-                self.adj0, self.adj0_d = HK.nn_descent_round(
-                    self.store.metric, kind, self.store.dim_pad, m_l, 16, 256,
-                    mem_dev, self.adj0, self.adj0_d, self.store._arrays,
-                )
-                self.adj0, self.adj0_d = HK.apply_reverse_edges(
-                    self.adj0, self.adj0_d, mem_dev,
-                    self.adj0[mem_dev], self.adj0_d[mem_dev], m_l, m_l,
-                )
         else:
-            slots = jnp.asarray(self.up_slot_host[members])
-            adj_l = self.up_adj[:, level - 1]
-            dist_l = self.up_d[:, level - 1]
-            adj_l = adj_l.at[slots].set(fwd_ids)
-            dist_l = dist_l.at[slots].set(fwd_d)
-            # reverse edges group by slot rows but store node ids (the
-            # adjacency entries are ids; rows are slots)
-            tgt_slots = jnp.where(
-                fwd_ids >= 0, self.up_slot[jnp.maximum(fwd_ids, 0)], -1
-            )
-            adj_l, dist_l = HK.apply_reverse_edges(
-                adj_l, dist_l, mem_dev, tgt_slots, fwd_d, m_l, m_l
+            slots_pad = np.full(mp, -1, np.int32)
+            slots_pad[:n_mem] = self.up_slot_host[members]
+            adj_l, dist_l = HK.upper_level_apply(
+                m_l, mem_dev, jnp.asarray(slots_pad), self.up_slot,
+                fwd_ids, fwd_d,
+                self.up_adj[:, level - 1], self.up_d[:, level - 1],
             )
             self.up_adj = self.up_adj.at[:, level - 1].set(adj_l)
             self.up_d = self.up_d.at[:, level - 1].set(dist_l)

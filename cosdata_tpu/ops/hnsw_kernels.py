@@ -351,32 +351,49 @@ def _block_scores(metric, kind, d, store, g1, s1, m1, g2, s2, m2):
     return -jnp.sqrt(jnp.maximum(d2, 0.0))
 
 
+_INT_MAX = np.iinfo(np.int32).max if False else 2**31 - 1
+
+
 @functools.partial(
     jax.jit, static_argnames=("metric", "kind", "d", "kk", "leaf_chunk")
 )
-def leaf_knn(
+def leaf_knn_gather(
     metric: str,
     kind: str,
     d: int,
     kk: int,
     leaf_chunk: int,
     leaf_ids: jax.Array,  # (NL, L) int32 member ids per leaf, -1 padded
+    pos_mem: jax.Array,  # (Mpad,) int32 flat position of each member (-1 pad)
     store,
 ):
-    """Exact top-kk neighbors of every member within its leaf (self excluded).
+    """leaf_knn + per-member inverse-permutation gather fused into ONE
+    program: every extra compiled program costs a multi-second first-load
+    through this platform's remote-compile tunnel, so bulk-build stages are
+    fused aggressively. Returns (ids (Mpad, kk), scores (Mpad, kk))."""
+    ids_t, sc_t = _leaf_knn_body(metric, kind, d, kk, leaf_chunk, leaf_ids, store)
+    kk_t = ids_t.shape[-1]
+    safe = jnp.maximum(pos_mem, 0)
+    ids_m = ids_t.reshape(-1, kk_t)[safe]
+    sc_m = sc_t.reshape(-1, kk_t)[safe]
+    ids_m = jnp.where(pos_mem[:, None] >= 0, ids_m, -1)
+    sc_m = jnp.where(pos_mem[:, None] >= 0, sc_m, NEG_INF)
+    if kk_t < kk:
+        ids_m = jnp.pad(ids_m, ((0, 0), (0, kk - kk_t)), constant_values=-1)
+        sc_m = jnp.pad(sc_m, ((0, 0), (0, kk - kk_t)), constant_values=NEG_INF)
+    return ids_m, sc_m
 
-    The RP-tree bulk-build workhorse: one (L, L) MXU score block per leaf,
-    fused top-k, leaves batched ``leaf_chunk`` at a time under lax.map so
-    the (lc, L, L) score tensor never exceeds a bounded footprint. Returns
-    (ids (NL, L, kk), scores (NL, L, kk)), -1/-inf padded."""
+
+def _leaf_knn_body(metric, kind, d, kk, leaf_chunk, leaf_ids, store):
     nl, L = leaf_ids.shape
+    kk = min(kk, L - 1)
     pad = (-nl) % leaf_chunk
     ids_p = jnp.pad(leaf_ids, ((0, pad), (0, 0)), constant_values=-1)
 
     def one(ids_c):  # (lc, L)
         safe = jnp.maximum(ids_c, 0)
         g, s, m = _decode_rows(kind, d, store, safe)
-        sc = _block_scores(metric, kind, d, store, g, s, m, g, s, m)  # (lc,L,L)
+        sc = _block_scores(metric, kind, d, store, g, s, m, g, s, m)
         valid = ids_c >= 0
         eye = jnp.eye(L, dtype=bool)
         sc = jnp.where(valid[:, None, :] & ~eye[None], sc, NEG_INF)
@@ -387,36 +404,135 @@ def leaf_knn(
         return top_i, top_s
 
     out_i, out_s = jax.lax.map(one, ids_p.reshape(-1, leaf_chunk, L))
-    return (
-        out_i.reshape(-1, L, kk)[:nl],
-        out_s.reshape(-1, L, kk)[:nl],
-    )
+    return out_i.reshape(-1, L, kk)[:nl], out_s.reshape(-1, L, kk)[:nl]
 
 
-_INT_MAX = np.iinfo(np.int32).max if False else 2**31 - 1
-
-
-@functools.partial(jax.jit, static_argnames=("m", "g_cap", "chunk"))
-def apply_reverse_edges(
-    adj: jax.Array,  # (rows, m) int32
-    dist: jax.Array,  # (rows, m) f32
-    src: jax.Array,  # (W,) int32 adjacency-row of each source
-    fwd_rows: jax.Array,  # (W, mf) int32 adjacency-row of each forward target
-    fwd_d: jax.Array,  # (W, mf) f32
+@functools.partial(
+    jax.jit,
+    static_argnames=("metric", "kind", "d", "m", "rounds", "sample", "node_chunk"),
+    donate_argnums=(7, 8),
+)
+def finalize_level0(
+    metric: str,
+    kind: str,
+    d: int,
     m: int,
-    g_cap: int,
-    chunk: int = 65536,
+    rounds: int,
+    sample: int,
+    node_chunk: int,
+    adj: jax.Array,  # (cap, m) donated
+    dist: jax.Array,  # (cap, m) donated
+    mem: jax.Array,  # (Mpad,) int32, -1 padded
+    fwd_ids: jax.Array,  # (Mpad, m)
+    fwd_d: jax.Array,  # (Mpad, m)
+    store,
 ):
-    """Device-side reverse-edge application for bulk builds, sort-free:
-    forward edges are grouped per target by a scatter-max into a
-    (rows, g_cap) cell table with column = source % g_cap, then every row
-    gets a keep-m-closest merge. Column collisions keep only the best
-    colliding edge — acceptable, since reverse edges are candidate
-    refinements, not a correctness surface (the forward lists already hold
-    exact/near-exact kNN). The obvious sort-based grouping is off the
-    table: this device executes large 1-D sorts pathologically slowly
-    (a 4M-element lax.sort measured >9 min), while scatters of the same
-    volume run in <1 ms."""
+    """Level-0 tail fused into one program: forward-edge writes + reverse
+    edges + NN-descent refinement round(s) + reverse again."""
+    safe_mem = jnp.where(mem >= 0, mem, adj.shape[0])
+    adj = adj.at[safe_mem].set(fwd_ids, mode="drop")
+    dist = dist.at[safe_mem].set(fwd_d, mode="drop")
+    adj, dist = _reverse_edges_body(adj, dist, mem, fwd_ids, fwd_d, m, m)
+    for _ in range(rounds):
+        adj, dist = _nn_descent_body(
+            metric, kind, d, m, sample, node_chunk, mem, adj, dist, store
+        )
+        adj, dist = _reverse_edges_body(
+            adj, dist, mem, adj[jnp.maximum(mem, 0)],
+            dist[jnp.maximum(mem, 0)], m, m,
+        )
+    return adj, dist
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("metric", "kind", "d", "m", "heuristic"),
+)
+def upper_level_exact(
+    metric: str,
+    kind: str,
+    d: int,
+    m: int,
+    heuristic: bool,
+    mem: jax.Array,  # (Mpad,) int32 member node ids, -1 padded
+    slots: jax.Array,  # (Mpad,) int32 adjacency slot of each member, -1 padded
+    up_slot: jax.Array,  # (cap,) int32 node id -> slot
+    adj_l: jax.Array,  # (cap_up, m) this level's adjacency
+    dist_l: jax.Array,  # (cap_up, m)
+    store,
+):
+    """Whole small upper level in ONE program: exact member x member kNN on
+    the MXU, diversity prune, reverse edges, slot writes. Levels above 1
+    hold <= a few thousand nodes; splitting them across the generic
+    multi-program pipeline paid ~10 s of program loads per level."""
+    mp = mem.shape[0]
+    safe = jnp.maximum(mem, 0)
+    g, s, mg = _decode_rows(kind, d, store, safe)
+    sc = _block_scores(metric, kind, d, store, g, s, mg, g, s, mg)  # (Mp, Mp)
+    valid = mem >= 0
+    eye = jnp.eye(mp, dtype=bool)
+    sc = jnp.where(valid[None, :] & valid[:, None] & ~eye, sc, NEG_INF)
+    kk = min(2 * m, mp)
+    top_s, pos = jax.lax.top_k(sc, kk)
+    cand = jnp.broadcast_to(mem[None, :], (mp, mp))
+    top_i = jnp.take_along_axis(cand, pos, axis=1)
+    top_i = jnp.where(top_s > NEG_INF / 2, top_i, -1)
+    if heuristic:
+        pair = _gather_pair(sc, pos)
+        fwd_i, fwd_d = select_diverse(top_i, top_s, pair, m)
+    else:
+        fwd_s, p2 = jax.lax.top_k(top_s, min(m, kk))
+        fwd_i = jnp.take_along_axis(top_i, p2, axis=1)
+        if fwd_i.shape[1] < m:
+            fwd_i = jnp.pad(fwd_i, ((0, 0), (0, m - fwd_i.shape[1])), constant_values=-1)
+            fwd_s = jnp.pad(fwd_s, ((0, 0), (0, m - fwd_s.shape[1])), constant_values=NEG_INF)
+        fwd_d = jnp.where(fwd_i >= 0, fwd_s, NEG_INF)
+        fwd_i = jnp.where(fwd_d > NEG_INF / 2, fwd_i, -1)
+    safe_slots = jnp.where(slots >= 0, slots, adj_l.shape[0])
+    adj_l = adj_l.at[safe_slots].set(fwd_i, mode="drop")
+    dist_l = dist_l.at[safe_slots].set(fwd_d, mode="drop")
+    tgt_slots = jnp.where(fwd_i >= 0, up_slot[jnp.maximum(fwd_i, 0)], -1)
+    adj_l, dist_l = _reverse_edges_body(
+        adj_l, dist_l, slots, tgt_slots, fwd_d, m, m
+    )
+    return adj_l, dist_l
+
+
+@functools.partial(jax.jit, static_argnames=("m",))
+def upper_level_apply(
+    m: int,
+    mem: jax.Array,  # (Mpad,) int32 member node ids, -1 padded (unused rows)
+    slots: jax.Array,  # (Mpad,) int32 slot of each member, -1 padded
+    up_slot: jax.Array,  # (cap,) int32 node id -> slot
+    fwd_ids: jax.Array,  # (Mpad, m) forward neighbor node ids
+    fwd_d: jax.Array,  # (Mpad, m)
+    adj_l: jax.Array,  # (cap_up, m)
+    dist_l: jax.Array,  # (cap_up, m)
+):
+    """Large-upper-level tail in one program: slot writes + reverse edges."""
+    del mem
+    safe_slots = jnp.where(slots >= 0, slots, adj_l.shape[0])
+    adj_l = adj_l.at[safe_slots].set(fwd_ids, mode="drop")
+    dist_l = dist_l.at[safe_slots].set(fwd_d, mode="drop")
+    tgt_slots = jnp.where(fwd_ids >= 0, up_slot[jnp.maximum(fwd_ids, 0)], -1)
+    return _reverse_edges_body(adj_l, dist_l, slots, tgt_slots, fwd_d, m, m)
+
+
+def _gather_pair(sc: jax.Array, pos: jax.Array) -> jax.Array:
+    """Candidate-candidate scores of the selected top-kk member columns:
+    candidate a of row i IS member column pos[i, a], so
+    pair[i, a, b] = sc[pos[i, a], pos[i, b]] — two gathers of the full
+    (Mp, Mp) member score matrix, no recomputation."""
+    rows_sel = sc[pos]  # (Mp, kk, Mp): rows_sel[i, a, :] = sc[pos[i, a], :]
+    idx = jnp.broadcast_to(
+        pos[:, None, :], (pos.shape[0], pos.shape[1], pos.shape[1])
+    )
+    return jnp.take_along_axis(rows_sel, idx, axis=2)
+
+
+def _reverse_edges_body(adj, dist, src, fwd_rows, fwd_d, m, g_cap, chunk=65536):
+    """Trace-inlinable body of apply_reverse_edges (shared by the fused
+    bulk kernels)."""
     rows_n = adj.shape[0]
     w, mf = fwd_rows.shape
     e = w * mf
@@ -425,24 +541,25 @@ def apply_reverse_edges(
     s_ = jnp.broadcast_to(src[:, None], (w, mf)).reshape(e)
     ok = (tgt >= 0) & (s_ >= 0) & (d_ > NEG_INF / 2)
     col = jnp.abs(s_) % g_cap
-    row_idx = jnp.where(ok, tgt, rows_n)  # out-of-range -> dropped
-    # per-cell best incoming distance
+    row_idx = jnp.where(ok, tgt, rows_n)
     inc_d = jnp.full((rows_n, g_cap), NEG_INF, jnp.float32)
-    inc_d = inc_d.at[row_idx, col].max(
-        jnp.where(ok, d_, NEG_INF), mode="drop"
-    )
-    # winners write their id; ties pick an arbitrary winner at the same d
+    inc_d = inc_d.at[row_idx, col].max(jnp.where(ok, d_, NEG_INF), mode="drop")
     gathered = inc_d[jnp.minimum(row_idx, rows_n - 1), col]
     is_win = ok & (d_ == gathered)
     win_row = jnp.where(is_win, tgt, rows_n)
     inc_ids = jnp.full((rows_n, g_cap), -1, jnp.int32)
     inc_ids = inc_ids.at[win_row, col].set(s_, mode="drop")
     inc_d = jnp.where(inc_ids >= 0, inc_d, NEG_INF)
-    # chunked keep-m-closest merge with dedup over every row
     if rows_n <= chunk:
-        return merge_neighbors(
-            adj, dist, jnp.arange(rows_n, dtype=jnp.int32), inc_ids, inc_d, m
-        )
+        dup = jnp.any(inc_ids[:, :, None] == adj[:, None, :], axis=-1)
+        inc_d = jnp.where(dup, NEG_INF, inc_d)
+        all_i = jnp.concatenate([adj, inc_ids], axis=1)
+        all_d = jnp.concatenate([dist, inc_d], axis=1)
+        masked = jnp.where(all_i >= 0, all_d, NEG_INF)
+        top_d, pos = jax.lax.top_k(masked, m)
+        top_i = jnp.take_along_axis(all_i, pos, axis=1)
+        top_i = jnp.where(top_d > NEG_INF / 2, top_i, -1)
+        return top_i, jnp.where(top_i >= 0, top_d, NEG_INF)
     pad = (-rows_n) % chunk
     adj_p = jnp.pad(adj, ((0, pad), (0, 0)), constant_values=-1)
     dist_p = jnp.pad(dist, ((0, pad), (0, 0)), constant_values=NEG_INF)
@@ -476,37 +593,18 @@ def apply_reverse_edges(
     return adj_p[:rows_n], dist_p[:rows_n]
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("metric", "kind", "d", "m", "sample", "node_chunk"),
-)
-def nn_descent_round(
-    metric: str,
-    kind: str,
-    d: int,
-    m: int,
-    sample: int,
-    node_chunk: int,
-    node_ids: jax.Array,  # (N,) int32 (adjacency == store rows here)
-    adj: jax.Array,  # (rows, m0) int32
-    dist: jax.Array,  # (rows, m0) f32
-    store,
-):
-    """One NN-descent local-join round over level-0: candidates = own
-    neighbors ∪ (sample x sample) neighbors-of-neighbors, scored exactly,
-    merged keep-m-closest into the forward lists. Returns (adj, dist).
-    Cheap (~one gather+matmul sweep) and recovers most of the recall the
-    leaf-local RP init leaves on the table (the EFANNA/kgraph recipe)."""
+def _nn_descent_body(metric, kind, d, m, sample, node_chunk, node_ids, adj, dist, store):
+    """Trace-inlinable body of nn_descent_round."""
     n = node_ids.shape[0]
     m0 = adj.shape[1]
     stride = max(m0 // sample, 1)
     pad = (-n) % node_chunk
     ids_p = jnp.pad(node_ids, ((0, pad),), constant_values=-1)
 
-    def one(ids_c):  # (nc,)
+    def one(ids_c):
         safe_c = jnp.maximum(ids_c, 0)
-        nbrs = adj[safe_c]  # (nc, m0)
-        sub = nbrs[:, ::stride][:, :sample]  # (nc, s)
+        nbrs = adj[safe_c]
+        sub = nbrs[:, ::stride][:, :sample]
         nn2 = adj[jnp.maximum(sub, 0)][:, :, ::stride][:, :, :sample]
         nn2 = jnp.where(sub[:, :, None] >= 0, nn2, -1).reshape(ids_c.shape[0], -1)
         cand = nn2
@@ -519,7 +617,6 @@ def nn_descent_round(
         )
         gq, sq, mq = _decode_rows(kind, d, store, safe_c)
         gc, sc_, mc = _decode_rows(kind, d, store, jnp.maximum(cand, 0))
-        # (nc, 1, D) x (nc, C, D) -> (nc, 1, C)
         sc = _block_scores(
             metric, kind, d, store,
             gq[:, None], None if sq is None else sq[:, None],
@@ -536,10 +633,11 @@ def nn_descent_round(
         return top_i, jnp.where(top_i >= 0, top_d, NEG_INF)
 
     out_i, out_d = jax.lax.map(one, ids_p.reshape(-1, node_chunk))
-    out_i = out_i.reshape(-1, m)[: n]
-    out_d = out_d.reshape(-1, m)[: n]
-    adj = adj.at[node_ids].set(out_i, mode="drop")
-    dist = dist.at[node_ids].set(out_d, mode="drop")
+    out_i = out_i.reshape(-1, m)[:n]
+    out_d = out_d.reshape(-1, m)[:n]
+    safe_n = jnp.where(node_ids >= 0, node_ids, adj.shape[0])
+    adj = adj.at[safe_n].set(out_i, mode="drop")
+    dist = dist.at[safe_n].set(out_d, mode="drop")
     return adj, dist
 
 

@@ -347,3 +347,35 @@ class TestHead:
         assert resp.status == 200
         resp = await client.head("/vectordb/collections/hd/vectors/zz", headers=h)
         assert resp.status == 404
+
+
+class TestCorsAndOpenAPI:
+    @async_test
+    async def test_cors_preflight_and_headers(self, client):
+        resp = await client.options("/vectordb/collections")
+        assert resp.status == 204
+        assert resp.headers["Access-Control-Allow-Origin"] == "*"
+        resp = await client.post(
+            "/auth/create-session",
+            json={"username": "admin", "password": ADMIN},
+        )
+        assert resp.headers.get("Access-Control-Allow-Origin") == "*"
+
+    @async_test
+    async def test_openapi_schemas(self, client):
+        resp = await client.get("/api-docs/openapi.json")
+        doc = await resp.json()
+        schemas = doc["components"]["schemas"]
+        for name in (
+            "CreateCollectionDto", "DenseSearchRequest", "HybridSearchRequest",
+            "VectorDto", "TransactionStatusResponse", "CreateDenseIndexDto",
+        ):
+            assert name in schemas, name
+        dense = doc["paths"][
+            "/vectordb/collections/{collection_id}/search/dense"
+        ]["post"]
+        ref = dense["requestBody"]["content"]["application/json"]["schema"]
+        assert ref == {"$ref": "#/components/schemas/DenseSearchRequest"}
+        assert dense["responses"]["200"]["content"]["application/json"][
+            "schema"
+        ] == {"$ref": "#/components/schemas/SearchResponse"}
