@@ -291,9 +291,19 @@ class Server:
 
     # --------------------------------------------------------------- search
 
+    def _coll_at_version(self, request, body):
+        """Resolve the collection, honoring an optional historical
+        ``version`` (version-context querying; requires
+        enable_context_history snapshots)."""
+        coll = self._coll(request)
+        v = body.get("version")
+        if v is not None:
+            coll = coll.checkout_version(int(v))
+        return coll
+
     async def search_dense(self, request):
         body = await request.json()
-        coll = self._coll(request)
+        coll = self._coll_at_version(request, body)
         if coll.dense is None:
             raise KeyError("dense index not found")
         results = await _run(
@@ -344,7 +354,7 @@ class Server:
 
     async def search_sparse(self, request):
         body = await request.json()
-        coll = self._coll(request)
+        coll = self._coll_at_version(request, body)
         if coll.sparse is None:
             raise KeyError("sparse index not found")
         results = await _run(
@@ -382,7 +392,7 @@ class Server:
 
     async def search_tfidf(self, request):
         body = await request.json()
-        coll = self._coll(request)
+        coll = self._coll_at_version(request, body)
         if coll.tfidf is None:
             raise KeyError("tf-idf index not found")
         results = await _run(

@@ -97,25 +97,7 @@ class AppContext:
             self.collections[coll.name] = coll
 
     def _restore_indexes(self, coll: Collection, cfg: dict):
-        for desc in self.meta.get("indexes", coll.name, default=[]) or []:
-            t = desc.get("index_type")
-            if t == "dense":
-                coll.create_dense_index(
-                    distance_metric=desc.get("distance_metric", "cosine"),
-                    quantization=desc.get("quantization"),
-                    hnsw_params=desc.get("hnsw_params"),
-                )
-            elif t == "sparse":
-                coll.create_sparse_index(
-                    quantization=desc.get("quantization", 64),
-                    sample_threshold=desc.get("sample_threshold", 1000),
-                )
-            elif t == "tf_idf":
-                coll.create_tf_idf_index(
-                    k1=desc.get("k1", 1.2),
-                    b=desc.get("b", 0.75),
-                    sample_threshold=desc.get("sample_threshold", 1000),
-                )
+        coll.restore_indexes_from_meta()
         snap_dir = coll.data_dir / "snapshot"
         if snap_dir.exists():
             from cosdata_tpu.store.snapshots import load_collection_state

@@ -807,6 +807,66 @@ class Collection:
                 r["text"] = None
         return out
 
+    # ------------------------------------------------- version-context query
+
+    def restore_indexes_from_meta(self) -> None:
+        """Recreate index handles from the persisted descriptors
+        (IndexOps::load_data role, indexes/mod.rs:176-213)."""
+        for desc in self.meta.get("indexes", self.name, default=[]) or []:
+            t = desc.get("index_type")
+            try:
+                if t == "dense" and self.dense is None:
+                    self.create_dense_index(
+                        distance_metric=desc.get("distance_metric", "cosine"),
+                        quantization=desc.get("quantization"),
+                        hnsw_params=desc.get("hnsw_params"),
+                    )
+                elif t == "sparse" and self.sparse is None:
+                    self.create_sparse_index(
+                        quantization=desc.get("quantization", 64),
+                        sample_threshold=desc.get("sample_threshold", 1000),
+                    )
+                elif t == "tf_idf" and self.tfidf is None:
+                    self.create_tf_idf_index(
+                        k1=desc.get("k1", 1.2),
+                        b=desc.get("b", 0.75),
+                        sample_threshold=desc.get("sample_threshold", 1000),
+                    )
+            except ValueError:
+                pass  # index type disabled for this collection config
+
+    def checkout_version(self, version: int) -> "Collection":
+        """Read-only view of the collection at an older version.
+
+        The reference's latest-version-link indirection exists precisely to
+        time-travel node states (serializer/hnsw/latest_node.rs:19-73,
+        org/versioning-context-based-querying.org). Array-native, history =
+        the retained per-version snapshot directories written when
+        ``enable_context_history`` is on; checkout loads one into a cached
+        read-only Collection."""
+        version = int(version)
+        if version == self.vcs.current_version:
+            return self
+        with self.lock:
+            cache = self.__dict__.setdefault("_history_views", {})
+            if version in cache:
+                return cache[version]
+            snap = self.data_dir / f"snapshot-v{version}"
+            if not snap.exists():
+                raise KeyError(
+                    f"version {version} not found in context history "
+                    "(enable_context_history retains per-version snapshots)"
+                )
+            from cosdata_tpu.store.snapshots import load_collection_state
+
+            clone = Collection(self.meta, self.data_dir.parent.parent,
+                               self.config)
+            clone.app_config = self.app_config
+            clone.restore_indexes_from_meta()
+            load_collection_state(clone, snap)
+            cache[version] = clone
+            return clone
+
     # -------------------------------------------------------------- vectors
 
     def get_vector(self, external_id) -> dict | None:

@@ -25,6 +25,7 @@ class FlatIndex:
         range_: tuple[float, float] = (-1.0, 1.0),
         keep_raw: bool = True,
         initial_capacity: int = 1024,
+        ship_dtype: str = "f32",
     ):
         if initial_capacity >= self.SCAN_THRESHOLD:
             # presize to a scan-chunk multiple: growth later would transiently
@@ -33,6 +34,7 @@ class FlatIndex:
         self.store = VectorStore(
             dim=dim, kind=kind, metric=metric, resolution=resolution,
             range=range_, keep_raw=keep_raw, initial_capacity=initial_capacity,
+            ship_dtype=ship_dtype,
         )
         self.alive = jnp.ones((self.store.capacity,), bool)
 
@@ -71,14 +73,16 @@ class FlatIndex:
     SCAN_CHUNK = 1 << 16
 
     def search(
-        self, queries: np.ndarray, top_k: int = 10, rerank: bool = False
+        self, queries: np.ndarray, top_k: int = 10, rerank: bool = False,
+        rerank_factor: int = 5,
     ) -> tuple[np.ndarray, np.ndarray]:
-        ids, vals = self.search_device(queries, top_k, rerank)
+        ids, vals = self.search_device(queries, top_k, rerank, rerank_factor)
         ids, vals = jax.device_get((ids, vals))  # one round trip
         return ids.astype(np.int64), np.asarray(vals)
 
     def search_device(
-        self, queries: np.ndarray, top_k: int = 10, rerank: bool = False
+        self, queries: np.ndarray, top_k: int = 10, rerank: bool = False,
+        rerank_factor: int = 5,
     ):
         """Dispatch one search without host synchronization.
 
@@ -96,7 +100,9 @@ class FlatIndex:
                 np.full((b, top_k), -np.inf, np.float32),
             )
         mask = self._mask()
-        k_fetch = min(top_k * 5 if rerank else top_k, self.store.capacity)
+        k_fetch = min(
+            top_k * rerank_factor if rerank else top_k, self.store.capacity
+        )
         if self.store.capacity >= self.SCAN_THRESHOLD:
             from cosdata_tpu.ops.flat_scan import fused_flat_search
 

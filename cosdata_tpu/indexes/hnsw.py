@@ -292,6 +292,7 @@ class HNSWIndex:
         keep_raw: bool = True,
         seed: int = 0,
         initial_capacity: int = 1024,
+        ship_dtype: str = "f32",
     ):
         self.params = params or HNSWParams()
         self.store = VectorStore(
@@ -302,6 +303,7 @@ class HNSWIndex:
             range=range_,
             keep_raw=keep_raw,
             initial_capacity=initial_capacity,
+            ship_dtype=ship_dtype,
         )
         p = self.params
         self.cap = self.store.capacity

@@ -61,6 +61,11 @@ class VectorStore:
     range: tuple[float, float] = (-1.0, 1.0)  # for u8
     keep_raw: bool = True
     initial_capacity: int = 1024
+    #: host->device wire dtype for ingested rows. "f16" halves ingest
+    #: bandwidth (the dominating build cost on a tunneled device link,
+    #: measured ~25 MB/s) at ~1e-3 relative value error — quantized codes
+    #: and rerank scores are insensitive at that scale. "f32" = exact.
+    ship_dtype: str = "f32"
 
     n: int = field(default=0, init=False)
     capacity: int = field(default=0, init=False)
@@ -137,7 +142,7 @@ class VectorStore:
 
     # -- ingestion ----------------------------------------------------------
 
-    def _pad_dims(self, x: np.ndarray) -> jax.Array:
+    def _pad_dims(self, x: np.ndarray, ship_f16: bool = False) -> jax.Array:
         x = np.asarray(x, dtype=np.float32)
         if x.ndim == 1:
             x = x[None]
@@ -147,6 +152,8 @@ class VectorStore:
             # quantize_* zeroes padded-lane codes and excludes them from
             # sums/magnitudes, so the pad value is irrelevant
             x = np.pad(x, ((0, 0), (0, self.dim_pad - self.dim)))
+        if ship_f16:
+            return jnp.asarray(x.astype(np.float16)).astype(jnp.float32)
         return jnp.asarray(x)
 
     def _quantize(self, xj: jax.Array):
@@ -156,7 +163,7 @@ class VectorStore:
 
     def add(self, x: np.ndarray) -> np.ndarray:
         """Append rows; returns the assigned internal row ids."""
-        xj = self._pad_dims(x)
+        xj = self._pad_dims(x, ship_f16=self.ship_dtype == "f16")
         b = xj.shape[0]
         if self.n + b > self.capacity:
             self._grow_to(max(self.capacity * 2, self.n + b))

@@ -38,3 +38,47 @@ def _ensure_native_text():
 
 
 _ensure_native_text()
+
+
+# ---------------------------------------------------------------- fast tier
+# `pytest -m fast` = a <60 s CPU smoke covering every subsystem (the round
+# gate; the full suite stays the depth tier). Curated centrally so the
+# selection is auditable in one place.
+_FAST_NODES = [
+    ("test_cosql.py", ""),  # whole module (pure-python parser)
+    ("test_native_text.py", ""),  # whole module (C++ pipeline parity)
+    ("test_store.py", "TestWAL"),
+    ("test_store.py", "TestVersioning"),
+    ("test_store.py", "TestMetaStore"),
+    ("test_store.py", "TestIncrementalSnapshots::test_chunked"),
+    ("test_store.py", "TestIncrementalSnapshots::test_generation"),
+    ("test_ops.py", "TestQuantize"),
+    ("test_ops.py", "TestTopK"),
+    ("test_sparse.py", "TestAddBatch"),
+    ("test_metadata.py", "TestSchema"),
+    ("test_storage.py", "TestRoundTrip"),
+    ("test_api.py", "TestCorsAndOpenAPI"),
+    ("test_api.py", "TestAuth"),
+    ("test_runtime.py", "TestTuneRange"),
+    ("test_runtime.py", "TestTransactions::test_full_txn_lifecycle"),
+]
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+
+    for item in items:
+        fname = item.fspath.basename
+        for f, prefix in _FAST_NODES:
+            if fname == f and (
+                not prefix
+                or item.nodeid.split("::", 1)[1].startswith(prefix)
+            ):
+                item.add_marker(pytest.mark.fast)
+                break
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "fast: <60s CPU smoke subset covering every subsystem"
+    )

@@ -331,6 +331,46 @@ class TestContextHistory:
         assert (coll.data_dir / "snapshot-v1").exists()
         assert (coll.data_dir / "snapshot-v2").exists()
 
+    def test_checkout_queries_old_version(self, tmp_path):
+        """Version-context querying: search an older version's state
+        (latest_node.rs:19-73 time-travel design role)."""
+        cfg = load_config(data_path=str(tmp_path / "data"))
+        cfg.enable_context_history = True
+        ctx = AppContext(cfg, admin_key="test-admin")
+        coll = ctx.create_collection(
+            {"name": "cq", "dense_vector": {"enabled": True, "dimension": 8}}
+        )
+        coll.create_dense_index(
+            quantization={"type": "scalar", "data_type": "f32"},
+            hnsw_params={"num_layers": 2, "wave_size": 32},
+        )
+        import numpy as np
+        a = (np.eye(8)[0]).tolist()
+        b = (np.eye(8)[1]).tolist()
+        txn = coll.create_transaction()
+        coll.txn_upsert(txn.txn_id, [{"id": "a", "dense_values": a}], False)
+        v1 = coll.commit_transaction(txn.txn_id)
+        ctx.indexing.trigger(coll, v1, txn)
+        ctx.indexing.wait_idle()
+        txn = coll.create_transaction()
+        coll.txn_upsert(txn.txn_id, [{"id": "b", "dense_values": b}], True)
+        v2 = coll.commit_transaction(txn.txn_id)
+        ctx.indexing.trigger(coll, v2, txn)
+        ctx.indexing.wait_idle()
+        # current sees both; v1 checkout sees only "a"
+        now = coll.search_dense([b], top_k=2)
+        assert any(r["id"] == "b" for r in now[0])
+        old = coll.checkout_version(v1)
+        assert old.get_vector("b") is None
+        assert old.get_vector("a") is not None
+        res = old.search_dense([a], top_k=2)
+        ids = [r["id"] for r in res[0]]
+        assert ids[0] == "a" and "b" not in ids
+        # unknown version -> KeyError (404 surface)
+        import pytest
+        with pytest.raises(KeyError):
+            coll.checkout_version(99)
+
 
 class TestCollectionCacheConfig:
     def test_residency_cap_from_config(self, tmp_path):

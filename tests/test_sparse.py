@@ -212,3 +212,43 @@ class TestSegmentRoute:
         assert idx.live_docs == 150
         ids1, _ = idx.search([[(int(d), float(v)) for d, v in zip(*docs[200])]], top_k=5)
         assert ids1[0, 0] == 200
+
+
+class TestAddBatch:
+    def test_batch_matches_per_doc(self):
+        import numpy as np
+        from cosdata_tpu.indexes.inverted import InvertedIndex
+
+        rng = np.random.default_rng(3)
+        docs = []
+        for i in range(60):
+            nnz = rng.integers(2, 12)
+            dims = rng.choice(200, size=nnz, replace=False).astype(np.int64)
+            vals = rng.random(nnz).astype(np.float32) * 2
+            docs.append((i, dims, vals))
+        a = InvertedIndex(quantization=64, sample_threshold=10)
+        b = InvertedIndex(quantization=64, sample_threshold=10)
+        for i, d, v in docs:
+            a.add(i, d, v)
+        for i, d, v in docs[:10]:
+            b.add(i, d, v)
+        rest = docs[10:]
+        b.add_batch(
+            np.asarray([i for i, _, _ in rest]),
+            np.concatenate([d for _, d, _ in rest]),
+            np.concatenate([v for _, _, v in rest]),
+            np.asarray([len(d) for _, d, _ in rest]),
+        )
+        a.flush()
+        b.flush()
+        q = [np.stack([docs[7][1][:4].astype(np.float64),
+                       docs[7][2][:4].astype(np.float64)], axis=1)]
+        ia, sa = a.search(q, top_k=5)
+        ib, sb = b.search(q, top_k=5)
+        assert np.array_equal(ia, ib)
+        np.testing.assert_allclose(sa, sb, rtol=1e-5)
+        # raw rerank path equality too
+        ia, sa = a.search(q, top_k=5, rerank=True)
+        ib, sb = b.search(q, top_k=5, rerank=True)
+        assert np.array_equal(ia, ib)
+        np.testing.assert_allclose(sa, sb, rtol=1e-5)
