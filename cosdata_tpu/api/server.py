@@ -253,6 +253,7 @@ class Server:
             body.get("distance_metric_type", body.get("distance_metric", "cosine")),
             body.get("quantization"),
             params,
+            body.get("raw_storage", "device"),
         )
         self.ctx._persist_index_descriptors(coll)
         return web.json_response(desc, status=201)

@@ -74,6 +74,7 @@ class DenseIndexHandle:
         quantization: dict | None = None,
         hnsw_params: dict | None = None,
         seed: int = 0,
+        raw_storage: str = "device",
     ):
         quantization = quantization or {"type": "auto", "sample_threshold": 100}
         self.descriptor = {
@@ -81,7 +82,14 @@ class DenseIndexHandle:
             "distance_metric": distance_metric,
             "quantization": quantization,
             "hnsw_params": hnsw_params or {},
+            "raw_storage": raw_storage,
         }
+        #: where exact (raw f32) rows live: "device" = HBM (fused rerank),
+        #: "host" = host RAM (beyond-HBM degradation path — the role of the
+        #: reference's lazy cache_loader.rs), "none" = quantized only
+        if raw_storage not in ("device", "host", "none"):
+            raise ValueError(f"unknown raw_storage {raw_storage}")
+        self.keep_raw = {"device": True, "host": "host", "none": False}[raw_storage]
         self.dimension = dimension
         self.metric = distance_metric
         params = HNSWParams()
@@ -141,6 +149,7 @@ class DenseIndexHandle:
             range_=self.range,
             params=self.params,
             seed=self.seed,
+            keep_raw=self.keep_raw,
         )
 
     def add_batch(
@@ -222,6 +231,7 @@ class DenseIndexHandle:
             params=self.params,
             seed=self.seed,
             initial_capacity=len(internals),
+            keep_raw=self.keep_raw,
         )
         self.index.add(raw)
         self.row_of = {iid: i for i, iid in enumerate(internals)}
@@ -361,7 +371,8 @@ class Collection:
     # ------------------------------------------------------------ indexes
 
     def create_dense_index(
-        self, distance_metric="cosine", quantization=None, hnsw_params=None
+        self, distance_metric="cosine", quantization=None, hnsw_params=None,
+        raw_storage="device",
     ):
         with self.lock:
             if not self.dense_vector.get("enabled"):
@@ -373,6 +384,7 @@ class Collection:
                 distance_metric=distance_metric,
                 quantization=quantization,
                 hnsw_params=hnsw_params,
+                raw_storage=raw_storage,
             )
             self._persist_descriptors()
             return self.dense.descriptor
@@ -820,6 +832,7 @@ class Collection:
                         distance_metric=desc.get("distance_metric", "cosine"),
                         quantization=desc.get("quantization"),
                         hnsw_params=desc.get("hnsw_params"),
+                        raw_storage=desc.get("raw_storage", "device"),
                     )
                 elif t == "sparse" and self.sparse is None:
                     self.create_sparse_index(

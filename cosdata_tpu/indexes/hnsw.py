@@ -504,10 +504,14 @@ class HNSWIndex:
             n_mem and members[0] == 0 and members[-1] == n_mem - 1
             and n_mem == self.store.n
         )
-        if self.store.keep_raw:
+        if self.store.keep_raw is True:
             base = self.store._raw
             x = base[:n_mem] if contiguous else base[jnp.asarray(members)]
             proj = np.asarray(jnp.matmul(x, jnp.asarray(rot)))
+        elif self.store.keep_raw == "host":
+            base = self.store._raw_host
+            x = base[:n_mem] if contiguous else base[members]
+            proj = x @ rot
         elif self.store.kind == "u8":
             base = self.store._arrays.data
             x = base[:n_mem] if contiguous else base[jnp.asarray(members)]
@@ -1012,7 +1016,18 @@ class HNSWIndex:
         rerank_keep: int | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Batched ANN search. Returns (ids (B, k), scores (B, k)); id -1 pads."""
-        out = self.search_device(queries, top_k, ef, rerank, rerank_keep)
+        host_rerank = rerank and self.store.keep_raw == "host"
+        if host_rerank:
+            # beyond-HBM mode: the device returns the full shortlist in
+            # quantized-space order; the exact rerank runs against the
+            # host-resident raw rows (cache_loader.rs's lazy-raw role)
+            keep = min(max(rerank_keep or 5 * top_k, top_k),
+                       int(ef or self.params.ef_search))
+            out = self.search_device(
+                queries, keep, ef, rerank=False, rerank_keep=keep
+            )
+        else:
+            out = self.search_device(queries, top_k, ef, rerank, rerank_keep)
         if out is None:
             b = len(np.atleast_2d(queries))
             return (
@@ -1020,7 +1035,16 @@ class HNSWIndex:
                 np.full((b, top_k), -np.inf, np.float32),
             )
         ids, scores = jax.device_get(out)  # one round trip
-        return ids.astype(np.int64), scores
+        ids = ids.astype(np.int64)
+        if host_rerank:
+            re = self.store.rerank_scores_host(
+                np.atleast_2d(np.asarray(queries, np.float32)), ids
+            )
+            re = np.where(ids >= 0, re, -np.inf)
+            order = np.argsort(-re, axis=1, kind="stable")[:, :top_k]
+            ids = np.take_along_axis(ids, order, axis=1)
+            scores = np.take_along_axis(re, order, axis=1).astype(np.float32)
+        return ids, scores
 
     def search_device(
         self,
@@ -1075,7 +1099,7 @@ class HNSWIndex:
             self._search_consts = cached
         entry_dev, upper_dev = cached[1], cached[2]
         keep = min(max(rerank_keep or 5 * top_k, top_k), ef)
-        rerank = bool(rerank and self.store.keep_raw)
+        rerank = bool(rerank and self.store.keep_raw is True)
         raw = self.store._raw if rerank else q_raw  # dummy when not reranking
         top_i, top_s = _fused_search(
             self.store.metric,
@@ -1117,7 +1141,9 @@ class HNSWIndex:
         mask: np.ndarray | None = None,
         rerank: bool = True,
     ) -> tuple[np.ndarray, np.ndarray]:
-        out = self.search_brute_device(queries, top_k, mask, rerank)
+        host_rerank = rerank and self.store.keep_raw == "host"
+        fetch = min(5 * top_k, max(self.n, 1)) if host_rerank else top_k
+        out = self.search_brute_device(queries, fetch, mask, rerank)
         if out is None:
             b = len(np.atleast_2d(queries))
             return (
@@ -1125,7 +1151,17 @@ class HNSWIndex:
                 np.full((b, top_k), -np.inf, np.float32),
             )
         ids, vals = jax.device_get(out)
-        return ids.astype(np.int64), np.asarray(vals)
+        ids = ids.astype(np.int64)
+        vals = np.asarray(vals)
+        if host_rerank:
+            re = self.store.rerank_scores_host(
+                np.atleast_2d(np.asarray(queries, np.float32)), ids
+            )
+            re = np.where(ids >= 0, re, -np.inf)
+            order = np.argsort(-re, axis=1, kind="stable")[:, :top_k]
+            ids = np.take_along_axis(ids, order, axis=1)
+            vals = np.take_along_axis(re, order, axis=1).astype(np.float32)
+        return ids, vals
 
     def search_brute_device(
         self,
@@ -1145,7 +1181,7 @@ class HNSWIndex:
         b = len(queries)
         if self.n == 0:
             return None
-        do_rerank = bool(rerank and self.store.keep_raw)
+        do_rerank = bool(rerank and self.store.keep_raw is True)
         keep = min(5 * top_k if do_rerank else top_k, self.cap)
         # pad batch to a power of two: compile-cache reuse across client sizes
         bp = max(8, 1 << int(np.ceil(np.log2(b))))

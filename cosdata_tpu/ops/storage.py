@@ -59,7 +59,11 @@ class VectorStore:
     metric: str = "cosine"
     resolution: int = 2  # for subbyte
     range: tuple[float, float] = (-1.0, 1.0)  # for u8
-    keep_raw: bool = True
+    #: True = raw f32 rows in HBM (fused exact rerank); "host" = raw rows in
+    #: host RAM (frees ~4 bytes x dim x capacity of HBM — the beyond-HBM
+    #: degradation path, the role of the reference's lazy cache_loader.rs);
+    #: False = no raw (quantized-space scores only)
+    keep_raw: bool | str = True
     initial_capacity: int = 1024
     #: host->device wire dtype for ingested rows. "f16" halves ingest
     #: bandwidth (the dominating build cost on a tunneled device link,
@@ -79,7 +83,10 @@ class VectorStore:
         self.dim_pad = _round_up(self.dim, _LANE)
         self.capacity = max(_round_up(self.initial_capacity, _LANE), _LANE)
         self._arrays = self._empty(self.capacity)
-        if self.keep_raw:
+        self._raw_host: np.ndarray | None = None
+        if self.keep_raw == "host":
+            self._raw_host = np.zeros((self.capacity, self.dim_pad), np.float32)
+        elif self.keep_raw:
             self._raw = jnp.zeros((self.capacity, self.dim_pad), jnp.float32)
         #: row-chunk dirty epochs (one shared row space for all store
         #: arrays) — lets snapshots write only touched chunks (O(delta) IO)
@@ -135,14 +142,17 @@ class VectorStore:
                 mags=new.mags.at[: self.capacity].set(old.mags),
             )
         self._arrays = new
-        if self.keep_raw:
+        if self.keep_raw == "host":
+            grow = cap - self.capacity
+            self._raw_host = np.pad(self._raw_host, ((0, grow), (0, 0)))
+        elif self.keep_raw:
             raw = jnp.zeros((cap, self.dim_pad), jnp.float32)
             self._raw = raw.at[: self.capacity].set(self._raw)
         self.capacity = cap
 
     # -- ingestion ----------------------------------------------------------
 
-    def _pad_dims(self, x: np.ndarray, ship_f16: bool = False) -> jax.Array:
+    def _pad_dims_np(self, x: np.ndarray) -> np.ndarray:
         x = np.asarray(x, dtype=np.float32)
         if x.ndim == 1:
             x = x[None]
@@ -152,6 +162,10 @@ class VectorStore:
             # quantize_* zeroes padded-lane codes and excludes them from
             # sums/magnitudes, so the pad value is irrelevant
             x = np.pad(x, ((0, 0), (0, self.dim_pad - self.dim)))
+        return x
+
+    def _pad_dims(self, x: np.ndarray, ship_f16: bool = False) -> jax.Array:
+        x = self._pad_dims_np(x)
         if ship_f16:
             return jnp.asarray(x.astype(np.float16)).astype(jnp.float32)
         return jnp.asarray(x)
@@ -163,13 +177,19 @@ class VectorStore:
 
     def add(self, x: np.ndarray) -> np.ndarray:
         """Append rows; returns the assigned internal row ids."""
-        xj = self._pad_dims(x, ship_f16=self.ship_dtype == "f16")
+        x_np = self._pad_dims_np(x)
+        if self.ship_dtype == "f16":
+            xj = jnp.asarray(x_np.astype(np.float16)).astype(jnp.float32)
+        else:
+            xj = jnp.asarray(x_np)
         b = xj.shape[0]
         if self.n + b > self.capacity:
             self._grow_to(max(self.capacity * 2, self.n + b))
         qb = self._quantize(xj)
         self._arrays = _write_rows(self._arrays, qb, self.n, self.kind)
-        if self.keep_raw:
+        if self.keep_raw == "host":
+            self._raw_host[self.n : self.n + b] = x_np
+        elif self.keep_raw:
             self._raw = jax.lax.dynamic_update_slice(self._raw, xj, (self.n, 0))
         ids = np.arange(self.n, self.n + b, dtype=np.int64)
         self.tracker.bump()
@@ -235,7 +255,32 @@ class VectorStore:
             raise RuntimeError("raw store disabled")
         return _rerank(self.metric, self._pad_dims(np.asarray(q_raw)), self._raw, ids)
 
+    def rerank_scores_host(self, q_raw: np.ndarray, ids: np.ndarray) -> np.ndarray:
+        """Exact rerank against host-resident raw rows (keep_raw="host"):
+        the candidate gather is K x B rows — tiny next to the corpus — and
+        the (B, K, D) einsum is ~top_k*factor*D flops per query, well within
+        host budget. Keeps exact-rerank recall without the raw store's HBM
+        footprint."""
+        if self._raw_host is None:
+            raise RuntimeError("host raw store disabled")
+        q = self._pad_dims_np(q_raw)
+        safe = np.maximum(ids, 0)
+        cand = self._raw_host[safe]  # (B, K, D)
+        dot = np.einsum("qd,qkd->qk", q, cand, optimize=True)
+        qm = np.linalg.norm(q, axis=-1)
+        cm = np.linalg.norm(cand, axis=-1)
+        metric = "euclidean" if self.metric == "hamming" else self.metric
+        if metric == "dot":
+            return dot
+        if metric == "cosine":
+            den = qm[:, None] * cm
+            return np.where(den > 1e-30, dot / np.maximum(den, 1e-30), 0.0)
+        d2 = qm[:, None] ** 2 + cm**2 - 2.0 * dot
+        return -np.sqrt(np.maximum(d2, 0.0))
+
     def raw_rows(self, ids: np.ndarray) -> np.ndarray:
+        if self._raw_host is not None:
+            return self._raw_host[np.asarray(ids)][:, : self.dim]
         out = np.asarray(self._raw[jnp.asarray(ids)])
         return out[:, : self.dim]
 

@@ -129,6 +129,8 @@ def save_collection_state(coll, snap_dir: str | Path, archive: bool = False) -> 
             save_chunked(snap_dir, "data", vs._arrays.data, st)
         if vs._raw is not None:
             save_chunked(snap_dir, "raw", vs._raw, st)
+        elif getattr(vs, "_raw_host", None) is not None:
+            save_chunked(snap_dir, "raw_host", vs._raw_host, st)
         arrays = {
             "up_slot": idx.up_slot,
             "levels": idx.levels,
@@ -318,7 +320,11 @@ def load_collection_state(coll, snap_dir: str | Path) -> None:
         raw_np = load_chunked(snap_dir, "raw")
         vs._raw = jnp.asarray(raw_np) if raw_np is not None else None
         del raw_np
-        vs.keep_raw = vs._raw is not None
+        vs._raw_host = load_chunked(snap_dir, "raw_host")
+        vs.keep_raw = (
+            True if vs._raw is not None
+            else ("host" if vs._raw_host is not None else False)
+        )
         vs.n = int(meta["n"])
         idx.cap = cap
         idx.adj0 = jnp.asarray(adj0)

@@ -91,6 +91,29 @@ class TestHNSW:
         ids, scores = idx.search(np.zeros((2, 16), np.float32), top_k=3)
         assert (ids == -1).all()
 
+    def test_host_raw_mode_recall(self):
+        """keep_raw="host": raw rows live in host RAM (beyond-HBM mode);
+        the exact rerank runs on host and recall must match device-raw."""
+        d, n, nq, k = 96, 3000, 32, 10
+        x = _unit(n, d, 2)
+        q = _unit(nq, d, 3)
+        flat = FlatIndex(dim=d, kind="f32")
+        flat.add(x)
+        true_ids, _ = flat.search(q, top_k=k)
+        idx = HNSWIndex(dim=d, kind="u8", params=HNSWParams(**SMALL),
+                        seed=7, keep_raw="host")
+        idx.add(x)
+        assert idx.store._raw is None  # no HBM raw copy
+        got_ids, got_scores = idx.search(q, top_k=k)
+        assert _recall(got_ids, true_ids) >= 0.90
+        # scores are exact f32 cosine (host rerank), not quantized-space
+        v = x[got_ids[0, 0]]
+        want = (q[0] @ v) / (np.linalg.norm(q[0]) * np.linalg.norm(v))
+        np.testing.assert_allclose(got_scores[0, 0], want, rtol=1e-4)
+        # brute path through host rerank too
+        b_ids, b_scores = idx.search_brute(q, top_k=k)
+        assert _recall(b_ids, true_ids) >= 0.99
+
 
 class TestFlatScan:
     def test_chunked_scan_matches_direct(self):

@@ -79,3 +79,47 @@ def test_raw_rows_roundtrip():
     vs = VectorStore(dim=d, kind="f32", initial_capacity=128)
     vs.add(x)
     np.testing.assert_allclose(vs.raw_rows(np.array([2, 7])), x[[2, 7]], rtol=1e-6)
+
+
+class TestRoundTrip:
+    """keep_raw modes: device / host / none (the host mode is the
+    beyond-HBM degradation path — cache_loader.rs's lazy-raw role)."""
+
+    def test_host_raw_rows_and_growth(self):
+        d = 96
+        x = _rand(300, d, seed=8)  # forces growth past initial capacity
+        vs = VectorStore(dim=d, kind="u8", initial_capacity=128, keep_raw="host")
+        vs.add(x)
+        assert vs._raw is None and vs._raw_host is not None
+        np.testing.assert_allclose(
+            vs.raw_rows(np.array([0, 150, 299])), x[[0, 150, 299]], rtol=1e-6
+        )
+
+    def test_host_rerank_matches_device_rerank(self):
+        d = 64
+        x = _rand(200, d, seed=9)
+        q = _rand(3, d, seed=10)
+        ids = np.array([[0, 5, 9], [10, 20, 30], [100, 150, 199]])
+        dev = VectorStore(dim=d, kind="u8", initial_capacity=256, keep_raw=True)
+        dev.add(x)
+        host = VectorStore(dim=d, kind="u8", initial_capacity=256, keep_raw="host")
+        host.add(x)
+        want = np.asarray(dev.rerank_scores(jnp.asarray(q), jnp.asarray(ids)))
+        got = host.rerank_scores_host(q, ids)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    @pytest.mark.parametrize("metric", ["dot", "euclidean"])
+    def test_host_rerank_metrics(self, metric):
+        d = 32
+        x = _rand(50, d, seed=11)
+        q = _rand(2, d, seed=12)
+        ids = np.array([[0, 1, 2], [10, 20, 30]])
+        vs = VectorStore(dim=d, kind="u8", metric=metric,
+                         initial_capacity=64, keep_raw="host")
+        vs.add(x)
+        got = vs.rerank_scores_host(q, ids)
+        for i in range(2):
+            for j in range(3):
+                v = x[ids[i, j]]
+                want = (q[i] @ v) if metric == "dot" else -np.linalg.norm(q[i] - v)
+                np.testing.assert_allclose(got[i, j], want, rtol=1e-4, atol=1e-5)
