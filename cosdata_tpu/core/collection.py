@@ -110,6 +110,11 @@ class DenseIndexHandle:
         #: chunked scan engine (measured faster than graph traversal with
         #: recall 1.0 up to a few hundred k rows on one chip)
         self.flat_serve_threshold = 262_144
+        #: filtered searches on indexes at or below this row count always
+        #: use the exact masked scan; above it, permissive filters take the
+        #: oversampled graph path (overridable so tests can exercise the
+        #: graph path at small n)
+        self.graph_filter_min = 20_000
         # internal id <-> dense row maps
         self.row_of: dict[int, int] = {}
         self.internal_of: list[int] = []
@@ -271,7 +276,7 @@ class DenseIndexHandle:
             rows, scores = self.index.search_brute(queries, top_k=top_k)
         elif row_mask is not None:
             selectivity = float(row_mask.mean()) if len(row_mask) else 0.0
-            if selectivity <= 0.10 or self.index.n <= 20_000:
+            if selectivity <= 0.10 or self.index.n <= self.graph_filter_min:
                 rows, scores = self.index.search_brute(
                     queries, top_k=top_k, mask=row_mask
                 )

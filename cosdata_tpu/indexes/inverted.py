@@ -38,10 +38,6 @@ import numpy as np
 
 _PAD_MIN = 256
 
-#: collections at/below this capacity score through the dense scatter-add
-#: kernel; larger ones use the O(B x gathered) segment-sum kernel
-DENSE_SCORE_LIMIT = 1 << 17
-
 #: query-batch chunk for the segment-sum route (bounds the (B, PAD) sort)
 SEG_QUERY_CHUNK = 256
 
@@ -393,6 +389,14 @@ class InvertedIndex:
                 self._csr_vals = jnp.asarray(self._h_buckets.astype(np.float32))
             self._csr_dirty = False
 
+    #: per-query-dim posting-scan budget. Postings are stored value-bucket
+    #: descending, so truncation keeps the highest-contribution postings —
+    #: the same cut-the-low-value-tail principle as the reference's
+    #: early-termination (sparse_ann_query.rs:68-147), applied
+    #: unconditionally: without it a zipf-head dim (hundreds of thousands
+    #: of postings) blows the gathered-workspace bound for the whole batch.
+    MAX_DIM_POSTINGS = 16384
+
     def _query_segments(self, pairs) -> list[tuple[int, int, float]]:
         """One query -> [(start, len, multiplier)] segment descriptors with
         early termination applied; long dims split into SEGCAP segments."""
@@ -409,6 +413,7 @@ class InvertedIndex:
                 buckets = self._h_buckets[start : start + length]
                 cut = int(np.searchsorted(-buckets, -etv, side="right"))
                 length = min(length, cut)
+            length = min(length, self.MAX_DIM_POSTINGS)
             for off in range(0, length, self.SEGCAP):
                 segs.append((start + off, min(self.SEGCAP, length - off), float(qqv)))
         return segs
@@ -489,30 +494,33 @@ class InvertedIndex:
 
 def _score_csr(starts, lens, mults, csr_ids, csr_vals, alive_dev,
                n_cap: int, k_fetch: int, segcap: int):
-    """Route to the dense scatter kernel (small n_cap) or the segment-sum
-    kernel (large n_cap, O(B x gathered) memory), query-chunked."""
-    from cosdata_tpu.ops.sparse_kernels import (
-        csr_accumulate_topk,
-        csr_segment_topk,
-    )
+    """Gather + scatter-accumulate scoring, query-chunked so one kernel's
+    footprint stays bounded: the (chunk, n_cap) f32 score block at ~2^26
+    elements (256 MB) and the gathered postings at ~2^25. Same O(gathered)
+    work class as the reference's FxHashMap walk
+    (sparse_ann_query.rs:89-126), batched onto the device."""
+    from cosdata_tpu.ops.sparse_kernels import csr_accumulate_topk
 
-    b = starts.shape[0]
-    if n_cap <= DENSE_SCORE_LIMIT:
-        scores, out_ids = csr_accumulate_topk(
-            jnp.asarray(starts), jnp.asarray(lens), jnp.asarray(mults),
-            csr_ids, csr_vals, alive_dev, n_cap, k_fetch, segcap,
-        )
-        return np.asarray(out_ids, np.int64), np.asarray(scores)
+    b, maxd = starts.shape
+    pad = maxd * segcap
+    chunk = min(SEG_QUERY_CHUNK, _next_pow2(b))
+    while chunk > 8 and (chunk * pad > (1 << 25) or chunk * n_cap > (1 << 26)):
+        chunk //= 2
+    if b % chunk:  # pad to a chunk multiple: one compiled shape per maxd
+        grow = chunk - b % chunk
+        starts = np.pad(starts, ((0, grow), (0, 0)), constant_values=-1)
+        lens = np.pad(lens, ((0, grow), (0, 0)))
+        mults = np.pad(mults, ((0, grow), (0, 0)))
     outs = []
-    for s in range(0, b, SEG_QUERY_CHUNK):
-        e = min(s + SEG_QUERY_CHUNK, b)
+    for s in range(0, len(starts), chunk):
+        e = s + chunk
         outs.append(
-            csr_segment_topk(
+            csr_accumulate_topk(
                 jnp.asarray(starts[s:e]), jnp.asarray(lens[s:e]),
                 jnp.asarray(mults[s:e]), csr_ids, csr_vals, alive_dev,
-                k_fetch, segcap,
+                n_cap, k_fetch, segcap,
             )
         )
-    scores = np.concatenate([np.asarray(o[0]) for o in outs])
-    out_ids = np.concatenate([np.asarray(o[1], np.int64) for o in outs])
+    scores = np.concatenate([np.asarray(o[0]) for o in outs])[:b]
+    out_ids = np.concatenate([np.asarray(o[1], np.int64) for o in outs])[:b]
     return out_ids, scores

@@ -79,6 +79,9 @@ class TFIDFIndex:
         self._csr_range: dict[int, tuple[int, int]] = {}
         self._live_df: dict[int, int] = {}
         self.SEGCAP = 512
+        #: per-query-term posting-scan budget (see _build_csr: postings are
+        #: tf-descending so the cut keeps the strongest candidates)
+        self.MAX_TERM_POSTINGS = 16384
         #: dead fraction that triggers posting compaction at flush
         COMPACT = 0.25
         self.COMPACT_THRESHOLD = COMPACT
@@ -170,27 +173,40 @@ class TFIDFIndex:
     # ---------------------------------------------------------------- search
 
     def _build_csr(self):
-        """Upload postings as one flat device CSR; rebuilt per indexed txn."""
+        """Upload postings as one flat device CSR; rebuilt per indexed txn.
+
+        Per-term postings are ordered tf-descending (one global lexsort) so
+        the per-term scan budget keeps the highest-tf documents — the same
+        cut-the-tail principle as the sparse index's bucket-descending
+        layout (sparse_ann_query.rs early termination)."""
         if not self._csr_dirty:
             return
-        ids_parts, val_parts = [], []
+        ids_parts, val_parts, term_lens = [], [], []
+        terms = list(self._postings.keys())
         self._csr_range = {}
         self._live_df = {}
-        pos = 0
-        for term, p in self._postings.items():
+        for term in terms:
+            p = self._postings[term]
             ids = np.asarray(p.ids, np.int32)
             ids_parts.append(ids)
             val_parts.append(np.asarray(self._tfs[term], np.float32))
-            self._csr_range[term] = (pos, len(p.ids))
+            term_lens.append(len(ids))
             self._live_df[term] = int(self._alive[ids].sum())
-            pos += len(p.ids)
         self._df_dirty = False
-        if pos == 0:
+        if not ids_parts or sum(term_lens) == 0:
             self._csr_ids = None
             self._csr_dirty = False
             return
-        self._csr_ids = jnp.asarray(np.concatenate(ids_parts))
-        self._csr_vals = jnp.asarray(np.concatenate(val_parts))
+        flat_ids = np.concatenate(ids_parts)
+        flat_tfs = np.concatenate(val_parts)
+        term_idx = np.repeat(np.arange(len(terms)), term_lens)
+        order = np.lexsort((-flat_tfs, term_idx))
+        pos = 0
+        for t, term in enumerate(terms):
+            self._csr_range[term] = (pos, term_lens[t])
+            pos += term_lens[t]
+        self._csr_ids = jnp.asarray(flat_ids[order])
+        self._csr_vals = jnp.asarray(flat_tfs[order])
         self._csr_dirty = False
 
     def search(self, queries: list[str], top_k: int = 10) -> tuple[np.ndarray, np.ndarray]:
@@ -220,6 +236,10 @@ class TFIDFIndex:
                 if df <= 0:
                     continue
                 idf = get_idf(self.live_documents, df)
+                # scan budget: postings are tf-descending, so the cut keeps
+                # the strongest per-term candidates (head terms carry little
+                # idf anyway — cutting their tail barely moves BM25 top-k)
+                length = min(length, self.MAX_TERM_POSTINGS)
                 for off in range(0, length, self.SEGCAP):
                     segs.append(
                         (start + off, min(self.SEGCAP, length - off), idf)

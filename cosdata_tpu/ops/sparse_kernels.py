@@ -1,12 +1,18 @@
-"""Sparse scoring kernels: scatter-accumulate + top-k over dense score rows.
+"""Sparse scoring kernels: gather + scatter-accumulate + top-k.
 
 The reference accumulates per-query dot products in a FxHashMap while
 walking posting lists (/root/reference/src/models/sparse_ann_query.rs:89-126)
 and BM25 scores via a BinaryHeap k-way merge (:182-232). TPU-native both
-become one kernel: the host gathers the relevant posting slices into padded
-(B, PAD) arrays of (vector_id, contribution); the device scatter-adds into a
-dense (B, N) score matrix and runs top-k. Accumulation order differs from
-the k-way merge but the sums are identical up to f32 association.
+become one kernel: the host ships (start, len, mult) posting-segment
+descriptors; the device gathers the HBM-resident postings, scatter-adds
+into per-query dense score rows, and runs top-k. Accumulation order differs
+from the k-way merge but the sums are identical up to f32 association.
+
+Memory is bounded by query-chunking in the caller: a (chunk, n_cap) f32
+score block plus the gathered postings. A sort+segment-sum variant was
+tried for large n_cap and rejected: a single-axis sort over the gathered
+width (10^5-10^6) takes tens of minutes to compile for TPU and executes no
+faster than the scatter.
 """
 
 from __future__ import annotations
@@ -31,10 +37,7 @@ def csr_accumulate_topk(
     k: int,
     segcap: int,
 ):
-    """Device-side CSR scoring: expand (start, len) segments into gathers of
-    the HBM-resident posting arrays, scatter-accumulate into dense (B, n_cap)
-    scores, fused top-k. The host ships only O(B * nnz) descriptors instead
-    of the gathered postings themselves."""
+    """Returns (scores (B, k), ids (B, k)) — ids are -1 where no candidate."""
     b, maxd = starts.shape
     iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, segcap), 2)
     idx = starts[:, :, None] + iota  # (B, MAXD, S)
@@ -43,83 +46,14 @@ def csr_accumulate_topk(
     ids = jnp.where(valid, post_ids[safe], -1).reshape(b, maxd * segcap)
     contrib = jnp.where(valid, mults[:, :, None] * post_vals[safe], 0.0)
     contrib = contrib.reshape(b, maxd * segcap)
-    return accumulate_topk(ids, contrib, alive, n_cap, k)
-
-
-@functools.partial(jax.jit, static_argnames=("k", "segcap"))
-def csr_segment_topk(
-    starts: jax.Array,  # (B, MAXD) int32 posting offsets (-1 = unused slot)
-    lens: jax.Array,  # (B, MAXD) int32 segment lengths (<= segcap)
-    mults: jax.Array,  # (B, MAXD) f32 per-segment multiplier
-    post_ids: jax.Array,  # (P,) int32
-    post_vals: jax.Array,  # (P,) f32
-    alive: jax.Array,  # (n_cap,) bool
-    k: int,
-    segcap: int,
-):
-    """Memory-bounded CSR scoring: per-query sort of the gathered postings
-    by vector id + segmented sum + top-k. O(B * gathered) instead of the
-    dense scatter's O(B * n_cap) — the route for large collections (the
-    reference's FxHashMap accumulation has the same O(gathered) footprint,
-    sparse_ann_query.rs:89-126)."""
-    b, maxd = starts.shape
-    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, segcap), 2)
-    idx = starts[:, :, None] + iota
-    valid = (iota < lens[:, :, None]) & (starts[:, :, None] >= 0)
-    safe = jnp.clip(idx, 0, post_ids.shape[0] - 1)
-    ids = jnp.where(valid, post_ids[safe], -1).reshape(b, maxd * segcap)
-    contrib = jnp.where(valid, mults[:, :, None] * post_vals[safe], 0.0)
-    contrib = contrib.reshape(b, maxd * segcap)
-    pad = ids.shape[1]
-    # group equal ids per row (−1 padding sorts first)
-    ids_s, contrib_s = jax.lax.sort((ids, contrib), dimension=1, num_keys=1)
-    csum = jnp.cumsum(contrib_s, axis=1)
-    pos = jax.lax.broadcasted_iota(jnp.int32, ids_s.shape, 1)
-    first = jnp.concatenate(
-        [jnp.ones((b, 1), bool), ids_s[:, 1:] != ids_s[:, :-1]], axis=1
-    )
-    last = jnp.concatenate(
-        [ids_s[:, :-1] != ids_s[:, 1:], jnp.ones((b, 1), bool)], axis=1
-    )
-    seg_start = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(first, pos, 0), axis=1
-    )
-    before = jnp.where(
-        seg_start > 0,
-        jnp.take_along_axis(csum, jnp.maximum(seg_start - 1, 0), axis=1),
-        0.0,
-    )
-    total = csum - before
-    ok = last & (ids_s >= 0) & alive[jnp.maximum(ids_s, 0)]
-    scores = jnp.where(ok, total, NEG_INF)
-    top_s, pos2 = jax.lax.top_k(scores, min(k, pad))
-    top_i = jnp.take_along_axis(ids_s, pos2, axis=1)
-    top_i = jnp.where(top_s > NEG_INF / 2, top_i, -1)
-    top_s = jnp.where(top_s > NEG_INF / 2, top_s, 0.0)
-    if top_i.shape[1] < k:
-        top_i = jnp.pad(top_i, ((0, 0), (0, k - top_i.shape[1])), constant_values=-1)
-        top_s = jnp.pad(top_s, ((0, 0), (0, k - top_s.shape[1])))
-    return top_s, top_i
-
-
-@functools.partial(jax.jit, static_argnames=("n_cap", "k"))
-def accumulate_topk(
-    ids: jax.Array,  # (B, PAD) int32 posting vector-ids, -1 padded
-    contrib: jax.Array,  # (B, PAD) f32 per-posting contribution
-    alive: jax.Array,  # (n_cap,) bool tombstone mask
-    n_cap: int,
-    k: int,
-):
-    """Returns (scores (B, k), ids (B, k)) — ids are -1 where no candidate."""
-    b = ids.shape[0]
     scores = jnp.zeros((b, n_cap), jnp.float32)
-    safe = jnp.maximum(ids, 0)
+    safe_ids = jnp.maximum(ids, 0)
     vals = jnp.where(ids >= 0, contrib, 0.0)
     rows = jax.lax.broadcasted_iota(jnp.int32, ids.shape, 0)
-    scores = scores.at[rows, safe].add(vals)
+    scores = scores.at[rows, safe_ids].add(vals)
     # hit-count via add (a scatter-set with mixed True/False duplicates would
     # be nondeterministic for the padded id-0 lanes)
-    hits = jnp.zeros((b, n_cap), jnp.int32).at[rows, safe].add(
+    hits = jnp.zeros((b, n_cap), jnp.int32).at[rows, safe_ids].add(
         (ids >= 0).astype(jnp.int32)
     )
     masked = jnp.where((hits > 0) & alive[None, :], scores, NEG_INF)

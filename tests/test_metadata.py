@@ -125,6 +125,40 @@ class TestFilteredSearch:
         with pytest.raises(ValueError, match="no metadata schema"):
             coll.search_dense([[0.0] * 8], filter_dto={"Is": {}})
 
+    @pytest.mark.parametrize("selectivity", [0.15, 0.3, 0.5])
+    def test_mid_selectivity_graph_path_fills_topk(self, selectivity):
+        """Mid-selectivity filters ride the oversampled graph path
+        (selectivity > 0.10); any query whose post-filter survivors
+        under-fill top_k must escalate to the exact masked scan
+        (query_filtering.rs:7-110: the contract is the correct filtered
+        top-k, not best-effort)."""
+        from cosdata_tpu.core.collection import DenseIndexHandle
+
+        n, d, k = 4000, 48, 10
+        rng = np.random.default_rng(int(selectivity * 100))
+        x = rng.normal(size=(n, d)).astype(np.float32)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        h = DenseIndexHandle(
+            dimension=d,
+            quantization={"type": "scalar", "data_type": "f32"},
+            hnsw_params={"num_layers": 3, "ef_search": 64},
+        )
+        h.graph_filter_min = 0  # force the graph path at this small n
+        h.add_batch(list(range(n)), x)
+        mask = rng.random(n) < selectivity
+        q = x[:16]
+        ids, scores = h.search(q, top_k=k, row_mask=mask)
+        # exact masked reference
+        sims = q @ x.T
+        sims[:, ~mask] = -np.inf
+        true_ids = np.argsort(-sims, axis=1)[:, :k]
+        assert (ids >= 0).all(), "under-filled top_k at mid selectivity"
+        for b in range(len(q)):
+            got = set(map(int, ids[b]))
+            assert all(mask[i] for i in got), "filter violated"
+            rec = len(got & set(map(int, true_ids[b]))) / k
+            assert rec >= 0.9, f"recall {rec} at selectivity {selectivity}"
+
     def test_metadata_validation_on_upsert(self, tmp_path):
         ctx, coll, x = self._setup(tmp_path)
         with pytest.raises(ValueError):
