@@ -341,7 +341,7 @@ def main():
         )
         uidx.add(ux)
         usec = {"n": un}
-        for ef in (256, 512, 768):
+        for ef in (256, 512, 1024):
             ugot, _ = uidx.search(uq, top_k=k, ef=ef)
             urec = recall_of(u_true, ugot, k)
             t0 = time.time()

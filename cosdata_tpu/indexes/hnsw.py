@@ -479,7 +479,11 @@ class HNSWIndex:
     #: exact full sweep (exact is O(n^2 d) — past ~32k the partitioned
     #: build wins by orders of magnitude at equal recall-after-refine)
     RP_THRESHOLD = 32768
-    RP_LEAF = 4096
+    #: 8192 measured strictly better than 4096 at 100k x 768: higher recall
+    #: (uniform ef512 0.62 vs 0.56) AND faster build (24s vs 44s — fewer,
+    #: larger leaf matmuls use the MXU better); leaf kNN memory stays
+    #: bounded by query-side blocking in _leaf_knn_body
+    RP_LEAF = 8192
     RP_TREES = 2
     NN_DESCENT_ROUNDS = 1
 

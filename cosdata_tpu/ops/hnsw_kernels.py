@@ -389,19 +389,43 @@ def _leaf_knn_body(metric, kind, d, kk, leaf_chunk, leaf_ids, store):
     kk = min(kk, L - 1)
     pad = (-nl) % leaf_chunk
     ids_p = jnp.pad(leaf_ids, ((0, pad), (0, 0)), constant_values=-1)
+    # query-side blocking bounds the (lc, qc, L) score tensor to ~2^26
+    # elements regardless of leaf width — big leaves (16k-32k) are the
+    # high-recall operating point for geometry-free (uniform) data, where
+    # random projections barely separate true neighbors and leaf-local
+    # exactness is what buys graph quality
+    qc = L
+    while leaf_chunk * qc * L > (1 << 26) and qc > 512:
+        qc //= 2
 
     def one(ids_c):  # (lc, L)
+        lc = ids_c.shape[0]
         safe = jnp.maximum(ids_c, 0)
         g, s, m = _decode_rows(kind, d, store, safe)
-        sc = _block_scores(metric, kind, d, store, g, s, m, g, s, m)
         valid = ids_c >= 0
-        eye = jnp.eye(L, dtype=bool)
-        sc = jnp.where(valid[:, None, :] & ~eye[None], sc, NEG_INF)
-        top_s, pos = jax.lax.top_k(sc, kk)
-        cand = jnp.broadcast_to(ids_c[:, None, :], (ids_c.shape[0], L, L))
-        top_i = jnp.take_along_axis(cand, pos, axis=2)
-        top_i = jnp.where(top_s > NEG_INF / 2, top_i, -1)
-        return top_i, top_s
+        col = jnp.arange(L)
+
+        def qblk(start):
+            gq = jax.lax.dynamic_slice_in_dim(g, start, qc, axis=1)
+            sq = None if s is None else jax.lax.dynamic_slice_in_dim(s, start, qc, axis=1)
+            mq = jax.lax.dynamic_slice_in_dim(m, start, qc, axis=1)
+            sc = _block_scores(metric, kind, d, store, gq, sq, mq, g, s, m)
+            qpos = start + jnp.arange(qc)
+            selfmask = qpos[:, None] == col[None, :]
+            sc = jnp.where(valid[:, None, :] & ~selfmask[None], sc, NEG_INF)
+            top_s, pos = jax.lax.top_k(sc, kk)
+            cand = jnp.broadcast_to(ids_c[:, None, :], (lc, qc, L))
+            top_i = jnp.take_along_axis(cand, pos, axis=2)
+            top_i = jnp.where(top_s > NEG_INF / 2, top_i, -1)
+            return top_i, top_s
+
+        if qc == L:
+            out_i, out_s = qblk(0)
+            return out_i, out_s
+        outs_i, outs_s = jax.lax.map(qblk, jnp.arange(0, L, qc))
+        out_i = jnp.moveaxis(outs_i, 0, 1).reshape(lc, L, kk)
+        out_s = jnp.moveaxis(outs_s, 0, 1).reshape(lc, L, kk)
+        return out_i, out_s
 
     out_i, out_s = jax.lax.map(one, ids_p.reshape(-1, leaf_chunk, L))
     return out_i.reshape(-1, L, kk)[:nl], out_s.reshape(-1, L, kk)[:nl]

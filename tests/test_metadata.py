@@ -144,6 +144,7 @@ class TestFilteredSearch:
             hnsw_params={"num_layers": 3, "ef_search": 64},
         )
         h.graph_filter_min = 0  # force the graph path at this small n
+        h.flat_serve_threshold = 0
         h.add_batch(list(range(n)), x)
         mask = rng.random(n) < selectivity
         q = x[:16]
