@@ -196,12 +196,18 @@ export class Client {
 
   createDenseIndex(
     collection,
-    { distanceMetric = "cosine", quantization = null, hnswParams = null } = {},
+    {
+      distanceMetric = "cosine",
+      quantization = null,
+      hnswParams = null,
+      rawStorage = "device", // "device" | "host" | "none"
+    } = {},
   ) {
     return this._post(`/vectordb/collections/${collection}/indexes/dense`, {
       distance_metric_type: distanceMetric,
       quantization: quantization ?? { type: "auto", sample_threshold: 100 },
       hnsw_params: hnswParams ?? {},
+      raw_storage: rawStorage,
     });
   }
 

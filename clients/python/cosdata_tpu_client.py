@@ -178,7 +178,11 @@ class Client:
 
     def create_dense_index(self, collection: str, distance_metric: str = "cosine",
                            quantization: dict | None = None,
-                           hnsw_params: dict | None = None):
+                           hnsw_params: dict | None = None,
+                           raw_storage: str = "device"):
+        """raw_storage: "device" (raw f32 rows in HBM, fused exact rerank),
+        "host" (raw rows in host RAM — frees HBM for bigger collections),
+        or "none" (quantized-space scores only)."""
         return self._post(
             f"/vectordb/collections/{collection}/indexes/dense",
             {
@@ -186,6 +190,7 @@ class Client:
                 "quantization": quantization
                 or {"type": "auto", "sample_threshold": 100},
                 "hnsw_params": hnsw_params or {},
+                "raw_storage": raw_storage,
             },
         )
 

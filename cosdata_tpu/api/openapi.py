@@ -208,6 +208,13 @@ def _schemas() -> dict:
                     },
                 },
                 "hnsw_params": _ref("HnswParams"),
+                "raw_storage": {
+                    "type": "string",
+                    "enum": ["device", "host", "none"],
+                    "default": "device",
+                    "description": "where exact (raw f32) rows live: device"
+                    " HBM (fused rerank), host RAM (frees HBM), or nowhere",
+                },
             },
         },
         "CreateSparseIndexDto": {
