@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -389,12 +390,17 @@ class InvertedIndex:
                 self._csr_vals = jnp.asarray(self._h_buckets.astype(np.float32))
             self._csr_dirty = False
 
-    #: per-query-dim posting-scan budget. Postings are stored value-bucket
-    #: descending, so truncation keeps the highest-contribution postings —
-    #: the same cut-the-low-value-tail principle as the reference's
-    #: early-termination (sparse_ann_query.rs:68-147), applied
-    #: unconditionally: without it a zipf-head dim (hundreds of thousands
-    #: of postings) blows the gathered-workspace bound for the whole batch.
+    #: per-query total posting-scan budget, distributed over the query's
+    #: present dims (each dim gets >= one segment, <= MAX_DIM_POSTINGS).
+    #: Postings are stored value-bucket descending, so truncation keeps the
+    #: highest-contribution postings — the reference's early-termination
+    #: principle (sparse_ann_query.rs:68-147) applied unconditionally:
+    #: without a bound a zipf-head dim (hundreds of thousands of postings)
+    #: blows the gathered-workspace bound for the whole batch. 64k postings
+    #: per query keeps the device kernel in the sub-100 ms class at 500k
+    #: docs; raise it (or enable rerank_sparse_with_raw_values) for
+    #: maximum-fidelity scoring.
+    SCAN_BUDGET = 65536
     MAX_DIM_POSTINGS = 16384
 
     def _query_segments(self, pairs) -> list[tuple[int, int, float]]:
@@ -402,18 +408,23 @@ class InvertedIndex:
         early termination applied; long dims split into SEGCAP segments."""
         low_threshold = int(self.early_terminate_threshold * (1 << self.bits))
         etv = min(int((1 << self.bits) * self.early_terminate_threshold), 255)
+        present = [
+            (int(d), float(v), self._csr_range[int(d)])
+            for d, v in sorted(pairs, key=lambda p: -p[1])
+            if int(d) in self._csr_range
+        ]
+        if not present:
+            return []
+        per_dim = max(self.SCAN_BUDGET // len(present), self.SEGCAP)
+        per_dim = min(per_dim - per_dim % self.SEGCAP, self.MAX_DIM_POSTINGS)
         segs: list[tuple[int, int, float]] = []
-        for dim, value in sorted(pairs, key=lambda p: -p[1]):
-            rng = self._csr_range.get(int(dim))
-            if rng is None:
-                continue
-            start, length = rng
+        for dim, value, (start, length) in present:
             qqv = int(self.quantize(np.float32(value)))
             if qqv <= low_threshold:
                 buckets = self._h_buckets[start : start + length]
                 cut = int(np.searchsorted(-buckets, -etv, side="right"))
                 length = min(length, cut)
-            length = min(length, self.MAX_DIM_POSTINGS)
+            length = min(length, per_dim)
             for off in range(0, length, self.SEGCAP):
                 segs.append((start + off, min(self.SEGCAP, length - off), float(qqv)))
         return segs
@@ -494,17 +505,28 @@ class InvertedIndex:
 
 def _score_csr(starts, lens, mults, csr_ids, csr_vals, alive_dev,
                n_cap: int, k_fetch: int, segcap: int):
-    """Gather + scatter-accumulate scoring, query-chunked so one kernel's
-    footprint stays bounded: the (chunk, n_cap) f32 score block at ~2^26
-    elements (256 MB) and the gathered postings at ~2^25. Same O(gathered)
-    work class as the reference's FxHashMap walk
-    (sparse_ann_query.rs:89-126), batched onto the device."""
-    from cosdata_tpu.ops.sparse_kernels import csr_accumulate_topk
+    """Route by gathered width, query-chunked so one kernel's footprint
+    stays bounded. Narrow gathers (rare/discriminative query dims, the
+    realistic retrieval shape) take the sort+segment-sum kernel: no
+    n_cap-sized buffers, no scatter. Wide gathers (zipf-head dims at the
+    scan budget) take scatter-accumulate into (chunk, n_cap) score rows at
+    ~2^26 elements. Both are the reference's FxHashMap walk
+    (sparse_ann_query.rs:89-126) batched onto the device."""
+    from cosdata_tpu.ops.sparse_kernels import (
+        csr_accumulate_topk,
+        csr_segment_topk,
+    )
 
     b, maxd = starts.shape
     pad = maxd * segcap
+    # sort+segment-sum only off-TPU: lax.sort along a 16k+ axis takes tens
+    # of minutes to compile for TPU, while XLA:CPU handles it instantly;
+    # on TPU the scatter kernel wins at every width
+    segment_route = pad <= (1 << 16) and jax.default_backend() != "tpu"
     chunk = min(SEG_QUERY_CHUNK, _next_pow2(b))
-    while chunk > 8 and (chunk * pad > (1 << 25) or chunk * n_cap > (1 << 26)):
+    while chunk > 8 and (chunk * pad > (1 << 25) or (
+        not segment_route and chunk * n_cap > (1 << 26)
+    )):
         chunk //= 2
     if b % chunk:  # pad to a chunk multiple: one compiled shape per maxd
         grow = chunk - b % chunk
@@ -514,6 +536,15 @@ def _score_csr(starts, lens, mults, csr_ids, csr_vals, alive_dev,
     outs = []
     for s in range(0, len(starts), chunk):
         e = s + chunk
+        if segment_route:
+            outs.append(
+                csr_segment_topk(
+                    jnp.asarray(starts[s:e]), jnp.asarray(lens[s:e]),
+                    jnp.asarray(mults[s:e]), csr_ids, csr_vals, alive_dev,
+                    k_fetch, segcap,
+                )
+            )
+            continue
         outs.append(
             csr_accumulate_topk(
                 jnp.asarray(starts[s:e]), jnp.asarray(lens[s:e]),

@@ -79,8 +79,10 @@ class TFIDFIndex:
         self._csr_range: dict[int, tuple[int, int]] = {}
         self._live_df: dict[int, int] = {}
         self.SEGCAP = 512
-        #: per-query-term posting-scan budget (see _build_csr: postings are
-        #: tf-descending so the cut keeps the strongest candidates)
+        #: per-query total and per-term posting-scan budgets (see
+        #: _build_csr: postings are tf-descending so the cut keeps the
+        #: strongest candidates)
+        self.SCAN_BUDGET = 65536
         self.MAX_TERM_POSTINGS = 16384
         #: dead fraction that triggers posting compaction at flush
         COMPACT = 0.25
@@ -227,19 +229,29 @@ class TFIDFIndex:
         seg_lists = []
         for text in queries:
             segs = []
+            present = []
             for term in process_text_query(text, self.max_token_len):
                 rng = self._csr_range.get(term)
                 if rng is None:
                     continue
-                start, length = rng
-                df = self._live_df.get(term, length)
+                df = self._live_df.get(term, rng[1])
                 if df <= 0:
                     continue
+                present.append((term, rng))
+            # per-query scan budget over the present terms: postings are
+            # tf-descending, so the cut keeps the strongest per-term
+            # candidates (head terms carry little idf anyway — cutting
+            # their tail barely moves BM25 top-k)
+            per_term = self.MAX_TERM_POSTINGS
+            if present:
+                per_term = max(self.SCAN_BUDGET // len(present), self.SEGCAP)
+                per_term = min(
+                    per_term - per_term % self.SEGCAP, self.MAX_TERM_POSTINGS
+                )
+            for term, (start, length) in present:
+                df = self._live_df.get(term, length)
                 idf = get_idf(self.live_documents, df)
-                # scan budget: postings are tf-descending, so the cut keeps
-                # the strongest per-term candidates (head terms carry little
-                # idf anyway — cutting their tail barely moves BM25 top-k)
-                length = min(length, self.MAX_TERM_POSTINGS)
+                length = min(length, per_term)
                 for off in range(0, length, self.SEGCAP):
                     segs.append(
                         (start + off, min(self.SEGCAP, length - off), idf)

@@ -57,7 +57,89 @@ def csr_accumulate_topk(
         (ids >= 0).astype(jnp.int32)
     )
     masked = jnp.where((hits > 0) & alive[None, :], scores, NEG_INF)
-    top_s, top_i = jax.lax.top_k(masked, k)
+    chunk = 1 << 16
+    if n_cap <= chunk:
+        top_s, top_i = jax.lax.top_k(masked, k)
+    else:
+        # chunked running top-k: lax.top_k over a 10^5-10^6-wide row is
+        # seconds on TPU (full-sort lowering); per-chunk approx_max_k +
+        # exact merge is the flat_scan pattern and runs in milliseconds.
+        # n_cap is always a power of two (see _grow_cap), so it divides.
+        def body(c, carry):
+            t_s, t_i = carry
+            start = c * chunk
+            blk = jax.lax.dynamic_slice_in_dim(masked, start, chunk, axis=1)
+            c_s, c_i = jax.lax.approx_max_k(blk, min(k, chunk),
+                                            recall_target=0.99)
+            c_i = c_i + start
+            all_s = jnp.concatenate([t_s, c_s], axis=1)
+            all_i = jnp.concatenate([t_i, c_i], axis=1)
+            t_s, pos = jax.lax.top_k(all_s, k)
+            t_i = jnp.take_along_axis(all_i, pos, axis=1)
+            return t_s, t_i
+
+        init = (
+            jnp.full((b, k), NEG_INF, jnp.float32),
+            jnp.full((b, k), -1, jnp.int32),
+        )
+        top_s, top_i = jax.lax.fori_loop(0, n_cap // chunk, body, init)
     top_i = jnp.where(top_s > NEG_INF / 2, top_i, -1)
     top_s = jnp.where(top_s > NEG_INF / 2, top_s, 0.0)
+    return top_s, top_i
+
+
+@functools.partial(jax.jit, static_argnames=("k", "segcap"))
+def csr_segment_topk(
+    starts: jax.Array,  # (B, MAXD) int32 posting offsets (-1 = unused slot)
+    lens: jax.Array,  # (B, MAXD) int32 segment lengths (<= segcap)
+    mults: jax.Array,  # (B, MAXD) f32 per-segment multiplier
+    post_ids: jax.Array,  # (P,) int32
+    post_vals: jax.Array,  # (P,) f32
+    alive: jax.Array,  # (n_cap,) bool
+    k: int,
+    segcap: int,
+):
+    """Sort + segment-sum CSR scoring for SMALL gathered widths (the router
+    caps pad at 65536): O(B x gathered) with no n_cap-sized buffers and no
+    scatter — the fast route for discriminative (rare-dim) queries, where
+    the budgeted gather is a few thousand postings. Wide pads must use the
+    scatter kernel instead: a 10^5+-wide single-axis sort takes tens of
+    minutes to compile for TPU."""
+    b, maxd = starts.shape
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, segcap), 2)
+    idx = starts[:, :, None] + iota
+    valid = (iota < lens[:, :, None]) & (starts[:, :, None] >= 0)
+    safe = jnp.clip(idx, 0, post_ids.shape[0] - 1)
+    ids = jnp.where(valid, post_ids[safe], -1).reshape(b, maxd * segcap)
+    contrib = jnp.where(valid, mults[:, :, None] * post_vals[safe], 0.0)
+    contrib = contrib.reshape(b, maxd * segcap)
+    pad = ids.shape[1]
+    # group equal ids per row (-1 padding sorts first)
+    ids_s, contrib_s = jax.lax.sort((ids, contrib), dimension=1, num_keys=1)
+    csum = jnp.cumsum(contrib_s, axis=1)
+    pos = jax.lax.broadcasted_iota(jnp.int32, ids_s.shape, 1)
+    first = jnp.concatenate(
+        [jnp.ones((b, 1), bool), ids_s[:, 1:] != ids_s[:, :-1]], axis=1
+    )
+    last = jnp.concatenate(
+        [ids_s[:, :-1] != ids_s[:, 1:], jnp.ones((b, 1), bool)], axis=1
+    )
+    seg_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(first, pos, 0), axis=1
+    )
+    before = jnp.where(
+        seg_start > 0,
+        jnp.take_along_axis(csum, jnp.maximum(seg_start - 1, 0), axis=1),
+        0.0,
+    )
+    total = csum - before
+    ok = last & (ids_s >= 0) & alive[jnp.maximum(ids_s, 0)]
+    scores = jnp.where(ok, total, NEG_INF)
+    top_s, pos2 = jax.lax.top_k(scores, min(k, pad))
+    top_i = jnp.take_along_axis(ids_s, pos2, axis=1)
+    top_i = jnp.where(top_s > NEG_INF / 2, top_i, -1)
+    top_s = jnp.where(top_s > NEG_INF / 2, top_s, 0.0)
+    if top_i.shape[1] < k:
+        top_i = jnp.pad(top_i, ((0, 0), (0, k - top_i.shape[1])), constant_values=-1)
+        top_s = jnp.pad(top_s, ((0, 0), (0, k - top_s.shape[1])))
     return top_s, top_i
