@@ -109,8 +109,12 @@ def main():
     from cosdata_tpu.indexes.flat import FlatIndex
     from cosdata_tpu.indexes.hnsw import HNSWIndex, HNSWParams
 
-    # absorb the tunnel's one-time first-download warmup outside any timer
-    np.asarray(_jnp.zeros((8,)))
+    # absorb the tunnel's one-time first-sync cost (~200-900 s measured on
+    # the shared remote device) outside any timer; a zeros fetch is not
+    # enough — it must be a computed program output (utils/device.py)
+    from cosdata_tpu.utils.device import warmup_device
+
+    out["warmup_s"] = round(warmup_device(), 1)
 
     # ground truth on-device: exact f32 scan (FlatIndex f32 stores raw rows
     # and scores them in f32 — no quantization anywhere in this path). The

@@ -611,6 +611,12 @@ def make_app(ctx: AppContext) -> web.Application:
 
 
 def run_server(ctx: AppContext):
+    # pay the per-process device first-sync cost before accepting requests
+    # (utils/device.py: ~200-900 s on the tunneled shared device; the first
+    # user search would otherwise absorb it)
+    from cosdata_tpu.utils.device import warmup_device
+
+    warmup_device()
     app = make_app(ctx)
     ssl_ctx = None
     if ctx.config.server.mode == "https":

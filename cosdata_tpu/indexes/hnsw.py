@@ -28,11 +28,20 @@ parity is recall-vs-brute-force, not graph isomorphism (SURVEY.md §7).
 from __future__ import annotations
 
 import functools
+import os
+import time
 from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def _blog(msg: str) -> None:
+    """Build-stage progress logging, enabled by COSDATA_BUILD_LOG=1 (used to
+    attribute time inside multi-minute 1M-scale builds)."""
+    if os.environ.get("COSDATA_BUILD_LOG"):
+        print(f"[build {time.strftime('%H:%M:%S')}] {msg}", flush=True)
 
 from cosdata_tpu.ops import hnsw_kernels as HK
 from cosdata_tpu.ops.storage import VectorStore
@@ -61,6 +70,57 @@ class HNSWParams:
 
     def to_dict(self) -> dict:
         return dict(self.__dict__)
+
+
+def _rp_split_body(seg, vals, valid, n_segs: int):
+    """One RP-tree level: split every segment at its approximate median
+    (256-bucket histogram; the threshold bucket goes whole to one side,
+    bounding imbalance by one bucket's mass). Replaces a full-array host
+    lexsort per level — 184 s of a 397 s 1M build on the 1-core host.
+
+    The (n_segs, 256) histogram is computed as a one-hot MXU contraction,
+    NOT a scatter-add: TPU scatter with ~10^6 colliding updates executes
+    serially, and on the tunneled device its first in-process execution
+    measured 178-509 s at 1M rows. The matmul form is n*n_segs*256 MACs —
+    microseconds on the MXU."""
+    nbuck = 256
+    lo = jnp.min(jnp.where(valid, vals, jnp.inf))
+    hi = jnp.max(jnp.where(valid, vals, -jnp.inf))
+    b = jnp.clip(
+        ((vals - lo) / jnp.maximum(hi - lo, 1e-30) * nbuck).astype(jnp.int32),
+        0, nbuck - 1,
+    )
+    oh_seg = (
+        (seg[:, None] == jnp.arange(n_segs)[None, :]) & valid[:, None]
+    ).astype(jnp.bfloat16)
+    oh_b = (b[:, None] == jnp.arange(nbuck)[None, :]).astype(jnp.bfloat16)
+    hist = jnp.matmul(
+        oh_seg.T, oh_b, preferred_element_type=jnp.float32
+    )  # (n_segs, 256), exact integer counts (< 2^24)
+    counts = hist.sum(axis=1)
+    csum = jnp.cumsum(hist, axis=1)
+    half = jnp.floor((counts + 1) * 0.5)
+    thresh = jnp.argmax(csum >= half[:, None], axis=1)
+    side = b > thresh[jnp.minimum(seg, n_segs - 1)]
+    return jnp.where(valid, seg * 2 + side.astype(jnp.int32), 0)
+
+
+@functools.partial(jax.jit, static_argnames=("l", "mp"))
+def _rp_level(proj, seg, l: int, mp: int):
+    """One median-split level as its own small compiled program, slicing
+    and padding the projections inside (no wide-tiled eager intermediates).
+
+    Why not one fused all-levels program: on the tunneled device the first
+    per-process run of the 7-level fused program measured 177-842 s (even
+    with a persistent-cache hit and data already resident — a per-process
+    program load/compile penalty that grows savagely with program size),
+    while these per-level programs load in <0.1 s. The caller blocks after
+    each level: chained *eager* dispatches were equally pathological, but a
+    short blocked chain of small jit programs is fast and robust."""
+    n_mem = proj.shape[0]
+    vals = jnp.pad(proj[:, l], (0, mp - n_mem))
+    valid = jnp.arange(mp) < n_mem
+    return _rp_split_body(seg, vals, valid, 1 << l)
 
 
 @functools.partial(jax.jit, static_argnames=("c",))
@@ -419,8 +479,10 @@ class HNSWIndex:
         n0 = self.store.n
         if n0 != 0:
             raise RuntimeError("bulk_build requires an empty index")
+        t0 = time.time()
         ids = self.store.add(x)
         self._sync_capacity()
+        _blog(f"store.add {len(ids)} rows: {time.time() - t0:.1f}s")
         n = len(ids)
 
         lv = self._sample_levels(n)
@@ -443,12 +505,16 @@ class HNSWIndex:
         if n > self.RP_THRESHOLD:
             # partitioned build: RP-tree leaf kNN + NN-descent — O(n·L·d)
             # instead of the exact sweep's O(n^2·d) (>20x at 1M)
+            t0 = time.time()
             self._bulk_level_rp(np.asarray(ids, np.int64), m0, level=0)
+            _blog(f"level 0 ({n} members): {time.time() - t0:.1f}s")
             for l in range(1, max_lv + 1):
                 members = np.asarray(ids[lv >= l], np.int64)
                 if len(members) < 2:
                     continue
+                t0 = time.time()
                 self._bulk_level_rp(members, p.neighbors_count, l)
+                _blog(f"level {l} ({len(members)} members): {time.time() - t0:.1f}s")
         else:
             # ---- exact kNN over the full store, node-chunked ----
             valid = self.store.valid_mask()
@@ -492,8 +558,10 @@ class HNSWIndex:
         on random projections. Returns (num_leaves, Lmax) int32, -1 padded.
 
         The TPU-native replacement for incremental insert locality: the
-        projections are one MXU matmul; the median splits are host argsorts
-        over (segment, projection) keys."""
+        projections are one MXU matmul and the per-level splits run on
+        device via histogram approximate medians (_rp_level);
+        the host only
+        does one stable argsort for the final leaf layout."""
         n_mem = len(members)
         depth = max(int(np.ceil(np.log2(max(n_mem / leaf, 1.0)))), 0)
         num_leaves = 1 << depth
@@ -511,17 +579,15 @@ class HNSWIndex:
         if self.store.keep_raw is True:
             base = self.store._raw
             x = base[:n_mem] if contiguous else base[jnp.asarray(members)]
-            proj = np.asarray(jnp.matmul(x, jnp.asarray(rot)))
+            proj = jnp.matmul(x, jnp.asarray(rot))
         elif self.store.keep_raw == "host":
             base = self.store._raw_host
             x = base[:n_mem] if contiguous else base[members]
-            proj = x @ rot
+            proj = jnp.asarray(x @ rot)
         elif self.store.kind == "u8":
             base = self.store._arrays.data
             x = base[:n_mem] if contiguous else base[jnp.asarray(members)]
-            proj = np.asarray(
-                jnp.matmul(x.astype(jnp.float32), jnp.asarray(rot))
-            )
+            proj = jnp.matmul(x.astype(jnp.float32), jnp.asarray(rot))
         else:
             # subbyte without raw rows: random balanced partition (codes are
             # sign-ish bits; a projection on them adds little over random)
@@ -533,27 +599,32 @@ class HNSWIndex:
                 part = perm[i::num_leaves]
                 out[i, : len(part)] = members[part]
             return out.astype(np.int32)
-        order = np.arange(n_mem)
-        seg = np.zeros(n_mem, np.int64)
-        pos = np.arange(n_mem)
+        # median splits via 256-bucket histograms ON DEVICE, all levels in
+        # one fused program (approximate median: the threshold bucket's
+        # members all go one side, so leaves imbalance by <= one bucket's
+        # mass — harmless, the layout pads to the max leaf anyway). The
+        # previous exact host path (one lexsort over all members per level
+        # per tree) measured 184 s of a 397 s 1M build on the single-core
+        # bench host; dispatching the per-level splits as chained eager ops
+        # measured 842 s on the tunneled device (see _rp_level).
+        jax.block_until_ready(proj)  # keep the queued-op chain short
+        mp = self._bucket(n_mem, 1024)
+        seg_dev = jnp.zeros(mp, jnp.int32)
         for l in range(depth):
-            key = np.lexsort((proj[order, l], seg))
-            order = order[key]
-            seg = seg[key]
-            counts = np.bincount(seg, minlength=int(seg.max()) + 1)
-            starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-            rank = pos - starts[seg]
-            half = (counts[seg] + 1) // 2
-            seg = seg * 2 + (rank >= half)
+            seg_dev = _rp_level(proj, seg_dev, l, mp)
+            jax.block_until_ready(seg_dev)  # see _rp_level docstring
+        seg = np.asarray(seg_dev)[:n_mem].astype(np.int64)
         counts = np.bincount(seg, minlength=num_leaves)
         # pad the leaf width to a 512 multiple: leaf_knn's compiled shape
         # then varies over a handful of widths instead of one per level
         # (each fresh XLA compile costs seconds on this platform)
         l_max = -(-int(counts.max()) // 512) * 512
         starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-        rank = pos - starts[seg]
+        order = np.argsort(seg, kind="stable")
+        sorted_seg = seg[order]
+        rank = np.arange(n_mem) - starts[sorted_seg]
         out = np.full((num_leaves, l_max), -1, np.int64)
-        out[seg, rank] = members[order]
+        out[sorted_seg, rank] = members[order]
         return out.astype(np.int32)
 
     #: upper levels at or below this member count build in ONE fused exact
@@ -603,7 +674,10 @@ class HNSWIndex:
         parts_i: list = []
         parts_s: list = []
         for t in range(trees):
+            t0 = time.time()
             order = self._rp_order(members, self.RP_LEAF, seed=101 + 31 * t + level)
+            _blog(f"  L{level} tree{t} rp_order: {time.time() - t0:.1f}s")
+            t0 = time.time()
             l_sz = order.shape[1]
             # bound the (lc, L, L) score block to ~256 MB
             leaf_chunk = max(1, (1 << 26) // max(l_sz * l_sz, 1))
@@ -622,16 +696,24 @@ class HNSWIndex:
             )
             parts_i.append(ids_m)
             parts_s.append(sc_m)
+            if os.environ.get("COSDATA_BUILD_LOG"):
+                jax.block_until_ready(ids_m)
+                _blog(f"  L{level} tree{t} leaf_knn: {time.time() - t0:.1f}s")
         cand_mem = parts_i[0] if trees == 1 else jnp.concatenate(parts_i, axis=1)
         sc_mem = parts_s[0] if trees == 1 else jnp.concatenate(parts_s, axis=1)
         mem_pad = np.full(mp, -1, np.int32)
         mem_pad[:n_mem] = members
         mem_dev = jnp.asarray(mem_pad)
+        t0 = time.time()
         fwd_ids, fwd_d = _prune_candidates(
             self.store.metric, kind, self.store.dim_pad, m_l, 1024, heur,
             mem_dev, cand_mem, sc_mem, self.store._arrays,
         )
         del cand_mem, sc_mem
+        if os.environ.get("COSDATA_BUILD_LOG"):
+            jax.block_until_ready(fwd_ids)
+            _blog(f"  L{level} prune: {time.time() - t0:.1f}s")
+        t0 = time.time()
         if level == 0:
             self.adj0, self.adj0_d = HK.finalize_level0(
                 self.store.metric, kind, self.store.dim_pad, m_l,
@@ -639,6 +721,9 @@ class HNSWIndex:
                 self.adj0, self.adj0_d, mem_dev, fwd_ids, fwd_d,
                 self.store._arrays,
             )
+            if os.environ.get("COSDATA_BUILD_LOG"):
+                jax.block_until_ready(self.adj0)
+                _blog(f"  L{level} finalize: {time.time() - t0:.1f}s")
         else:
             slots_pad = np.full(mp, -1, np.int32)
             slots_pad[:n_mem] = self.up_slot_host[members]

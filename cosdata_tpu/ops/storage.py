@@ -175,26 +175,37 @@ class VectorStore:
             xj, self.range[0], self.range[1], self.kind, self.resolution, self.dim
         )
 
+    #: internal ingest chunk: host wire-conversion of chunk i+1 overlaps
+    #: the (async-dispatched) upload/quantize/write of chunk i, which
+    #: matters on a slow host — a monolithic 1M-row astype+upload was
+    #: measured at ~2 min while the device sat idle
+    ADD_CHUNK = 131072
+
     def add(self, x: np.ndarray) -> np.ndarray:
         """Append rows; returns the assigned internal row ids."""
         x_np = self._pad_dims_np(x)
-        if self.ship_dtype == "f16":
-            xj = jnp.asarray(x_np.astype(np.float16)).astype(jnp.float32)
-        else:
-            xj = jnp.asarray(x_np)
-        b = xj.shape[0]
+        b = x_np.shape[0]
         if self.n + b > self.capacity:
             self._grow_to(max(self.capacity * 2, self.n + b))
-        qb = self._quantize(xj)
-        self._arrays = _write_rows(self._arrays, qb, self.n, self.kind)
-        if self.keep_raw == "host":
-            self._raw_host[self.n : self.n + b] = x_np
-        elif self.keep_raw:
-            self._raw = jax.lax.dynamic_update_slice(self._raw, xj, (self.n, 0))
-        ids = np.arange(self.n, self.n + b, dtype=np.int64)
+        start = self.n
+        for s in range(0, b, self.ADD_CHUNK):
+            piece = x_np[s : s + self.ADD_CHUNK]
+            if self.ship_dtype == "f16":
+                xj = jnp.asarray(piece.astype(np.float16)).astype(jnp.float32)
+            else:
+                xj = jnp.asarray(piece)
+            qb = self._quantize(xj)
+            self._arrays = _write_rows(self._arrays, qb, self.n, self.kind)
+            if self.keep_raw == "host":
+                self._raw_host[self.n : self.n + len(piece)] = piece
+            elif self.keep_raw:
+                self._raw = jax.lax.dynamic_update_slice(
+                    self._raw, xj, (self.n, 0)
+                )
+            self.n += len(piece)
+        ids = np.arange(start, self.n, dtype=np.int64)
         self.tracker.bump()
-        self.tracker.mark_range("rows", self.n, self.n + b)
-        self.n += b
+        self.tracker.mark_range("rows", start, self.n)
         return ids
 
     def set_range(self, lo: float, hi: float) -> None:

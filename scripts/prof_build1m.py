@@ -1,0 +1,42 @@
+"""Time the full 1M HNSW build (warm XLA cache) — the VERDICT #3 metric."""
+import faulthandler
+import os, sys, time
+
+faulthandler.dump_traceback_later(180, repeat=True, file=sys.stderr)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import cosdata_tpu
+import numpy as np, jax
+from cosdata_tpu.core.collection import tune_dense_range
+from cosdata_tpu.indexes.hnsw import HNSWIndex, HNSWParams
+from cosdata_tpu.utils.device import warmup_device
+
+print(f"warmup: {warmup_device():.1f}s", flush=True)
+
+n, d = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000, 768
+cache = f"/tmp/xc_{n}_{d}.npy"
+if os.path.exists(cache):
+    x = np.load(cache, mmap_mode="r")
+    x = np.ascontiguousarray(x)
+else:
+    rng = np.random.default_rng(0)
+    nc = max(n // 100, 1)
+    centers = rng.normal(size=(nc, d)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    noise = 0.5 / np.sqrt(d)
+    x = np.empty((n, d), np.float32)
+    for s in range(0, n, 131072):
+        e = min(s + 131072, n)
+        x[s:e] = centers[rng.integers(0, nc, e - s)] + noise * rng.normal(
+            size=(e - s, d)
+        ).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    np.save(cache, x)
+r = tune_dense_range(x[:1000])
+print("data ready", flush=True)
+
+idx = HNSWIndex(dim=d, kind="u8", range_=r, params=HNSWParams(), seed=3,
+                initial_capacity=n, ship_dtype="f16")
+t0 = time.time()
+idx.add(x)
+dt = time.time() - t0
+print(f"build {n} in {dt:.1f}s = {n/dt:.0f} vec/s", flush=True)

@@ -187,3 +187,43 @@ class TestBulkBuild:
         ids2 = idx.add(x2)
         got, _ = idx.search(x2[:4], top_k=1)
         assert (got[:, 0] == ids2[:4]).mean() >= 0.75
+
+    def test_rp_order_is_a_partition(self):
+        """_rp_order (device histogram median splits) must place every
+        member exactly once, whatever the imbalance."""
+        from cosdata_tpu.indexes.hnsw import HNSWIndex, HNSWParams
+
+        d, n = 64, 5000
+        x = _unit(n, d, 30)
+        idx = HNSWIndex(dim=d, kind="u8", range_=(-0.3, 0.3),
+                        params=HNSWParams(**SMALL), seed=3, initial_capacity=n)
+        idx.store.add(x)
+        members = np.arange(n, dtype=np.int64)
+        out = idx._rp_order(members, 512, seed=42)
+        flat = out.reshape(-1)
+        placed = flat[flat >= 0]
+        assert len(placed) == n
+        assert set(placed.tolist()) == set(range(n))
+        assert out.shape[0] == 16  # 2^ceil(log2(5000/512)) = 2^4
+        # leaves are 512-padded
+        assert out.shape[1] % 512 == 0
+
+    def test_rp_bulk_path_recall(self):
+        """Force the RP-tree bulk path at small n: graph must stay usable
+        (self-retrieval) after histogram-split partitioning."""
+        from cosdata_tpu.indexes.hnsw import HNSWIndex, HNSWParams
+
+        d, n = 64, 4000
+        x = _unit(n, d, 31)
+        old_t, old_l = HNSWIndex.RP_THRESHOLD, HNSWIndex.RP_LEAF
+        HNSWIndex.RP_THRESHOLD, HNSWIndex.RP_LEAF = 1000, 512
+        try:
+            idx = HNSWIndex(dim=d, kind="u8", range_=(-0.3, 0.3),
+                            params=HNSWParams(**SMALL), seed=9,
+                            initial_capacity=n)
+            idx.add(x)
+        finally:
+            HNSWIndex.RP_THRESHOLD, HNSWIndex.RP_LEAF = old_t, old_l
+        got, _ = idx.search(x[:32], top_k=5, ef=128)
+        self_hit = np.mean([int(i in set(map(int, got[i]))) for i in range(32)])
+        assert self_hit >= 0.85, f"self-retrieval {self_hit}"
