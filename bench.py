@@ -18,6 +18,7 @@ key for that section instead of zeroing the headline.
 """
 
 import json
+import os
 import sys
 import time
 import traceback
@@ -31,6 +32,13 @@ def gen_clustered(n, d, nq, seed=0):
     random high-dim vectors are the known adversarial case for every
     graph-ANN method and misrepresent production recall). All-f32,
     in-place: the bench host has ONE core; every avoidable pass matters."""
+    cache = f"/tmp/cosdata_bench_{n}x{d}_{nq}_{seed}.npz"
+    if os.path.exists(cache):
+        try:
+            z = np.load(cache, mmap_mode="r")
+            return np.ascontiguousarray(z["x"]), np.ascontiguousarray(z["q"])
+        except Exception:
+            pass
     rng = np.random.default_rng(seed)
     n_clusters = max(n // 100, 16)
     centers = rng.standard_normal(size=(n_clusters, d), dtype=np.float32)
@@ -44,6 +52,11 @@ def gen_clustered(n, d, nq, seed=0):
     q *= noise
     q += centers[rng.integers(0, n_clusters, nq)]
     q /= np.linalg.norm(q, axis=1, keepdims=True)
+    try:
+        # ~17 min of 1-core generation at 1M x 768; cache uncompressed
+        np.savez(cache, x=x, q=q)
+    except Exception:
+        pass
     return x, q
 
 

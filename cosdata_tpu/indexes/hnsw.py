@@ -654,6 +654,7 @@ class HNSWIndex:
         kind = self._kind()
         heur = p.neighbor_selection == "heuristic"
         if level >= 1 and n_mem <= self.UPPER_EXACT_MAX:
+            t0 = time.time()
             mp = self._bucket(n_mem, 512)
             mem_pad = np.full(mp, -1, np.int32)
             mem_pad[:n_mem] = members
@@ -665,8 +666,15 @@ class HNSWIndex:
                 self.up_adj[:, level - 1], self.up_d[:, level - 1],
                 self.store._arrays,
             )
+            if os.environ.get("COSDATA_BUILD_LOG"):
+                jax.block_until_ready(adj_l)
+                _blog(f"  L{level} exact kernel: {time.time() - t0:.1f}s")
+            t0 = time.time()
             self.up_adj = self.up_adj.at[:, level - 1].set(adj_l)
             self.up_d = self.up_d.at[:, level - 1].set(dist_l)
+            if os.environ.get("COSDATA_BUILD_LOG"):
+                jax.block_until_ready(self.up_adj)
+                _blog(f"  L{level} table set: {time.time() - t0:.1f}s")
             return
         kk = min(2 * m_l, self.RP_LEAF - 1)
         trees = self.RP_TREES if n_mem > self.RP_LEAF else 1
@@ -732,8 +740,15 @@ class HNSWIndex:
                 fwd_ids, fwd_d,
                 self.up_adj[:, level - 1], self.up_d[:, level - 1],
             )
+            if os.environ.get("COSDATA_BUILD_LOG"):
+                jax.block_until_ready(adj_l)
+                _blog(f"  L{level} apply: {time.time() - t0:.1f}s")
+            t0 = time.time()
             self.up_adj = self.up_adj.at[:, level - 1].set(adj_l)
             self.up_d = self.up_d.at[:, level - 1].set(dist_l)
+            if os.environ.get("COSDATA_BUILD_LOG"):
+                jax.block_until_ready(self.up_adj)
+                _blog(f"  L{level} table set: {time.time() - t0:.1f}s")
 
     def _bulk_level(self, members, member_mask, valid, m_l: int, level: int):
         """Exact-kNN forward edges + reverse merge for one level."""

@@ -413,7 +413,15 @@ def _leaf_knn_body(metric, kind, d, kk, leaf_chunk, leaf_ids, store):
             qpos = start + jnp.arange(qc)
             selfmask = qpos[:, None] == col[None, :]
             sc = jnp.where(valid[:, None, :] & ~selfmask[None], sc, NEG_INF)
-            top_s, pos = jax.lax.top_k(sc, kk)
+            if L >= 4096:
+                # TPU-native approximate top-k (bucketed max-reduce) — the
+                # exact lax.top_k partial sort dominates leaf-kNN time at
+                # 8k-wide leaves; candidates are diversity-pruned and
+                # NN-descent-refined downstream, so per-leaf recall_target
+                # 0.95 does not bound final graph quality
+                top_s, pos = jax.lax.approx_max_k(sc, kk, recall_target=0.95)
+            else:
+                top_s, pos = jax.lax.top_k(sc, kk)
             cand = jnp.broadcast_to(ids_c[:, None, :], (lc, qc, L))
             top_i = jnp.take_along_axis(cand, pos, axis=2)
             top_i = jnp.where(top_s > NEG_INF / 2, top_i, -1)

@@ -40,3 +40,16 @@ t0 = time.time()
 idx.add(x)
 dt = time.time() - t0
 print(f"build {n} in {dt:.1f}s = {n/dt:.0f} vec/s", flush=True)
+
+# recall check: 128 queries, exact truth via numpy (~30 s host)
+nq, k = 128, 10
+rng = np.random.default_rng(1)
+q = x[rng.integers(0, n, nq)] + 0.02 * rng.normal(size=(nq, d)).astype(np.float32)
+q /= np.linalg.norm(q, axis=1, keepdims=True)
+s = q @ x.T
+true = np.argpartition(-s, k, axis=1)[:, :k]
+for ef in (128, 256):
+    got, _ = idx.search(q, top_k=k, ef=ef)
+    hits = np.mean([len(set(map(int, got[i])) & set(map(int, true[i]))) / k
+                    for i in range(nq)])
+    print(f"recall@10 ef={ef}: {hits:.4f}", flush=True)
