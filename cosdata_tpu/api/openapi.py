@@ -210,10 +210,11 @@ def _schemas() -> dict:
                 "hnsw_params": _ref("HnswParams"),
                 "raw_storage": {
                     "type": "string",
-                    "enum": ["device", "host", "none"],
+                    "enum": ["device", "host", "disk", "none"],
                     "default": "device",
                     "description": "where exact (raw f32) rows live: device"
-                    " HBM (fused rerank), host RAM (frees HBM), or nowhere",
+                    " HBM (fused rerank), host RAM (frees HBM), disk memmap"
+                    " (beyond-RAM), or nowhere",
                 },
             },
         },

@@ -86,10 +86,14 @@ class DenseIndexHandle:
         }
         #: where exact (raw f32) rows live: "device" = HBM (fused rerank),
         #: "host" = host RAM (beyond-HBM degradation path — the role of the
-        #: reference's lazy cache_loader.rs), "none" = quantized only
-        if raw_storage not in ("device", "host", "none"):
+        #: reference's lazy cache_loader.rs), "disk" = memory-mapped file
+        #: (beyond-RAM tier; rows fault in via the OS page cache, the
+        #: analog of lazy_item.rs page-fault loads), "none" = quantized only
+        if raw_storage not in ("device", "host", "disk", "none"):
             raise ValueError(f"unknown raw_storage {raw_storage}")
-        self.keep_raw = {"device": True, "host": "host", "none": False}[raw_storage]
+        self.keep_raw = {
+            "device": True, "host": "host", "disk": "disk", "none": False,
+        }[raw_storage]
         self.dimension = dimension
         self.metric = distance_metric
         params = HNSWParams()
@@ -150,6 +154,10 @@ class DenseIndexHandle:
         return self.index is not None
 
     def _build(self):
+        # without device-raw rows the f32 upload is pure wire cost: ship
+        # host-quantized u8 codes instead (4x less ingest bandwidth on the
+        # tunneled link; VectorStore.add ship_dtype="u8")
+        ship = "u8" if (self.kind == "u8" and self.keep_raw is not True) else "f32"
         self.index = HNSWIndex(
             dim=self.dimension,
             metric=self.metric,
@@ -159,6 +167,7 @@ class DenseIndexHandle:
             params=self.params,
             seed=self.seed,
             keep_raw=self.keep_raw,
+            ship_dtype=ship,
         )
 
     def add_batch(
@@ -329,6 +338,12 @@ class DenseIndexHandle:
 
 
 class Collection:
+    #: a committed version whose upserts land on an EMPTY dense index and
+    #: total at least this many rows is coalesced into one ingest, taking
+    #: the bulk exact-kNN build path (HNSWIndex.BULK_THRESHOLD); below it,
+    #: per-op incremental waves keep ProcessingStats granular
+    COALESCE_MIN = 8192
+
     def __init__(self, meta: MetaStore, data_dir: str | Path, config: dict):
         self.meta = meta
         self.config = config
@@ -567,12 +582,38 @@ class Collection:
         status.start(header.get("total_ops", len(ops)))
         upserted = deleted = 0
         done = 0
-        for op, payload in ops:
-            if op == OP_UPSERT:
-                self.index_embeddings(payload)
-                upserted += len(payload)
-                done += 1
-                status.progress(upserted, deleted, done)
+        up_payloads = [p for op, p in ops if op == OP_UPSERT]
+        total_up = sum(len(p) for p in up_payloads)
+        dense_empty = (
+            self.dense is None
+            or self.dense.index is None
+            or self.dense.index.n == 0
+        )
+        if (
+            len(up_payloads) > 1
+            and dense_empty
+            and total_up >= self.COALESCE_MIN
+        ):
+            # Coalesce a fresh collection's upserts into ONE ingest so the
+            # dense index takes the bulk exact-kNN build path (orders of
+            # magnitude faster than per-op incremental waves — the
+            # write-path analog of batched search). Duplicate ids keep the
+            # last occurrence, matching apply-in-order upsert semantics.
+            seen: dict = {}
+            for p in up_payloads:
+                for v in p:
+                    seen[v["id"]] = v
+            self.index_embeddings(list(seen.values()))
+            upserted = total_up
+            done = len(up_payloads)
+            status.progress(upserted, deleted, done)
+        elif up_payloads:
+            for op, payload in ops:
+                if op == OP_UPSERT:
+                    self.index_embeddings(payload)
+                    upserted += len(payload)
+                    done += 1
+                    status.progress(upserted, deleted, done)
         for op, payload in ops:
             if op == OP_DELETE:
                 self.delete_embedding(payload)

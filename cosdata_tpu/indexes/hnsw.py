@@ -580,7 +580,7 @@ class HNSWIndex:
             base = self.store._raw
             x = base[:n_mem] if contiguous else base[jnp.asarray(members)]
             proj = jnp.matmul(x, jnp.asarray(rot))
-        elif self.store.keep_raw == "host":
+        elif self.store.raw_on_host:
             base = self.store._raw_host
             x = base[:n_mem] if contiguous else base[members]
             proj = jnp.asarray(x @ rot)
@@ -628,8 +628,11 @@ class HNSWIndex:
         return out.astype(np.int32)
 
     #: upper levels at or below this member count build in ONE fused exact
-    #: program (member x member MXU block) instead of the RP pipeline
-    UPPER_EXACT_MAX = 4096
+    #: program (member x member MXU block) instead of the RP pipeline.
+    #: 12288 pulls the ~10k level-2 of a 1M build into the exact path
+    #: (measured 7.6 s through the RP pipeline; a 12k x 12k int8 MXU block
+    #: is ~0.1 TMAC); the (Mp, Mp) f32 score block at 12288 is 576 MB
+    UPPER_EXACT_MAX = 12288
 
     @staticmethod
     def _bucket(n: int, lo: int = 1024) -> int:
@@ -677,7 +680,10 @@ class HNSWIndex:
                 _blog(f"  L{level} table set: {time.time() - t0:.1f}s")
             return
         kk = min(2 * m_l, self.RP_LEAF - 1)
-        trees = self.RP_TREES if n_mem > self.RP_LEAF else 1
+        # upper levels are navigation-only: one tree suffices (level-0
+        # candidate quality is what bounds recall; L1 of a 1M build spent
+        # 10.4 s of which ~half was the second tree)
+        trees = self.RP_TREES if (n_mem > self.RP_LEAF and level == 0) else 1
         mp = self._bucket(n_mem, 1024)
         parts_i: list = []
         parts_s: list = []
@@ -1120,7 +1126,7 @@ class HNSWIndex:
         rerank_keep: int | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Batched ANN search. Returns (ids (B, k), scores (B, k)); id -1 pads."""
-        host_rerank = rerank and self.store.keep_raw == "host"
+        host_rerank = rerank and self.store.raw_on_host
         if host_rerank:
             # beyond-HBM mode: the device returns the full shortlist in
             # quantized-space order; the exact rerank runs against the
@@ -1245,7 +1251,7 @@ class HNSWIndex:
         mask: np.ndarray | None = None,
         rerank: bool = True,
     ) -> tuple[np.ndarray, np.ndarray]:
-        host_rerank = rerank and self.store.keep_raw == "host"
+        host_rerank = rerank and self.store.raw_on_host
         fetch = min(5 * top_k, max(self.n, 1)) if host_rerank else top_k
         out = self.search_brute_device(queries, fetch, mask, rerank)
         if out is None:

@@ -50,6 +50,21 @@ def _quantize_batch(x: jax.Array, lo, hi, kind: str, resolution: int, d_true: in
     return Q.quantize_f32(x)
 
 
+@functools.partial(jax.jit, static_argnames=("d_true",))
+def _u8_code_stats(codes: jax.Array, lo, hi, d_true: int):
+    """sums/mags for host-quantized centered u8 codes (ship_dtype="u8").
+
+    Mirrors quantize_u8's outputs given `codes = u8 - 128` with padded
+    lanes at -128 (u-code 0)."""
+    sums = jnp.sum(codes, axis=-1, dtype=jnp.int32)
+    a = (hi - lo) / 255.0
+    u = codes.astype(jnp.float32) + 128.0
+    deq = a * u + lo
+    lanes = jnp.arange(codes.shape[-1]) < d_true
+    mags = jnp.sqrt(jnp.sum(jnp.where(lanes[None, :], deq * deq, 0.0), axis=-1))
+    return sums, mags
+
+
 @dataclass
 class VectorStore:
     """Growing device store of quantized vectors (+ optional raw f32)."""
@@ -62,13 +77,19 @@ class VectorStore:
     #: True = raw f32 rows in HBM (fused exact rerank); "host" = raw rows in
     #: host RAM (frees ~4 bytes x dim x capacity of HBM — the beyond-HBM
     #: degradation path, the role of the reference's lazy cache_loader.rs);
-    #: False = no raw (quantized-space scores only)
+    #: "disk" = raw rows in a memory-mapped file (beyond-RAM tier: the OS
+    #: page cache lazily faults candidate rows, the closest analog of the
+    #: reference's lazy_item page-fault loads); False = no raw
     keep_raw: bool | str = True
     initial_capacity: int = 1024
     #: host->device wire dtype for ingested rows. "f16" halves ingest
     #: bandwidth (the dominating build cost on a tunneled device link,
     #: measured ~25 MB/s) at ~1e-3 relative value error — quantized codes
-    #: and rerank scores are insensitive at that scale. "f32" = exact.
+    #: and rerank scores are insensitive at that scale. "u8" (u8-kind
+    #: stores only) quantizes on the HOST with the same affine math and
+    #: ships the 1-byte codes — 4x less wire than f32; requires
+    #: keep_raw != True (device-raw mode needs the f32 upload anyway).
+    #: "f32" = exact.
     ship_dtype: str = "f32"
 
     n: int = field(default=0, init=False)
@@ -84,8 +105,11 @@ class VectorStore:
         self.capacity = max(_round_up(self.initial_capacity, _LANE), _LANE)
         self._arrays = self._empty(self.capacity)
         self._raw_host: np.ndarray | None = None
+        self._raw_path: str | None = None
         if self.keep_raw == "host":
             self._raw_host = np.zeros((self.capacity, self.dim_pad), np.float32)
+        elif self.keep_raw == "disk":
+            self._raw_host = self._new_memmap(self.capacity)
         elif self.keep_raw:
             self._raw = jnp.zeros((self.capacity, self.dim_pad), jnp.float32)
         #: row-chunk dirty epochs (one shared row space for all store
@@ -93,6 +117,24 @@ class VectorStore:
         self.tracker = DirtyTracker()
 
     # -- allocation ---------------------------------------------------------
+
+    @property
+    def raw_on_host(self) -> bool:
+        """Raw rows live host-side (RAM or disk-backed memmap)."""
+        return self.keep_raw in ("host", "disk")
+
+    def _new_memmap(self, cap: int) -> np.memmap:
+        import tempfile
+
+        f = tempfile.NamedTemporaryFile(
+            prefix="cosdata_raw_", suffix=".f32", delete=False
+        )
+        self._raw_path = f.name
+        f.close()
+        return np.memmap(
+            self._raw_path, dtype=np.float32, mode="w+",
+            shape=(cap, self.dim_pad),
+        )
 
     def _empty(self, cap: int):
         d = self.dim_pad
@@ -145,6 +187,17 @@ class VectorStore:
         if self.keep_raw == "host":
             grow = cap - self.capacity
             self._raw_host = np.pad(self._raw_host, ((0, grow), (0, 0)))
+        elif self.keep_raw == "disk":
+            old = self._raw_host
+            old_path = self._raw_path
+            self._raw_host = self._new_memmap(cap)
+            self._raw_host[: self.capacity] = old[: self.capacity]
+            self._raw_host.flush()
+            del old
+            if old_path:
+                import os as _os
+
+                _os.unlink(old_path)
         elif self.keep_raw:
             raw = jnp.zeros((cap, self.dim_pad), jnp.float32)
             self._raw = raw.at[: self.capacity].set(self._raw)
@@ -188,15 +241,41 @@ class VectorStore:
         if self.n + b > self.capacity:
             self._grow_to(max(self.capacity * 2, self.n + b))
         start = self.n
+        ship_u8 = (
+            self.ship_dtype == "u8"
+            and self.kind == "u8"
+            and self.keep_raw is not True
+        )
         for s in range(0, b, self.ADD_CHUNK):
             piece = x_np[s : s + self.ADD_CHUNK]
-            if self.ship_dtype == "f16":
+            if ship_u8:
+                # host-side affine quantization, identical math/order to
+                # quantize_u8 (scalar.rs:18-28 parity): floor of
+                # (clip(x)-lo)/(hi-lo)*255 in f32, padded lanes -> code 0
+                lo, hi = self.range
+                scaled = (
+                    (np.clip(piece, lo, hi) - np.float32(lo))
+                    / np.float32(hi - lo)
+                    * np.float32(255.0)
+                )
+                u8 = np.clip(np.floor(scaled), 0, 255).astype(np.int16)
+                if self.dim_pad != self.dim:
+                    u8[:, self.dim :] = 0
+                cj = jnp.asarray((u8 - 128).astype(np.int8))
+                sums, mags = _u8_code_stats(
+                    cj, np.float32(lo), np.float32(hi), self.dim
+                )
+                a0 = self._arrays
+                qb = Q.QuantizedU8(cj, sums, mags, a0.a, a0.b, a0.dtrue)
+                xj = None
+            elif self.ship_dtype == "f16":
                 xj = jnp.asarray(piece.astype(np.float16)).astype(jnp.float32)
+                qb = self._quantize(xj)
             else:
                 xj = jnp.asarray(piece)
-            qb = self._quantize(xj)
+                qb = self._quantize(xj)
             self._arrays = _write_rows(self._arrays, qb, self.n, self.kind)
-            if self.keep_raw == "host":
+            if self.raw_on_host:
                 self._raw_host[self.n : self.n + len(piece)] = piece
             elif self.keep_raw:
                 self._raw = jax.lax.dynamic_update_slice(

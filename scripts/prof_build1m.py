@@ -35,7 +35,7 @@ r = tune_dense_range(x[:1000])
 print("data ready", flush=True)
 
 idx = HNSWIndex(dim=d, kind="u8", range_=r, params=HNSWParams(), seed=3,
-                initial_capacity=n, ship_dtype="f16")
+                initial_capacity=n, keep_raw="host", ship_dtype="u8")
 t0 = time.time()
 idx.add(x)
 dt = time.time() - t0

@@ -54,13 +54,20 @@ def main():
     txn = requests.post(
         f"{base}/vectordb/collections/{name}/transactions", json={}, headers=h
     ).json()["transaction_id"]
-    for i in range(0, args.n, 1000):
+    # 500-vector chunks + 6-decimal rounding keep each request under the
+    # server's 8 MB JSON limit at 768-d (full float repr is ~20 chars;
+    # rounding is harmless — the store quantizes to u8 anyway)
+    chunk = 500 if args.dim >= 512 else 1000
+    # round in float64: json repr of a rounded double is the short form
+    # ("0.012346"), while a rounded float32 still reprs with ~17 digits
+    xr = np.round(x.astype(np.float64), 6)
+    for i in range(0, args.n, chunk):
         requests.post(
             f"{base}/vectordb/collections/{name}/transactions/{txn}/upsert",
             json={
                 "vectors": [
-                    {"id": f"v{j}", "dense_values": x[j].tolist()}
-                    for j in range(i, min(i + 1000, args.n))
+                    {"id": f"v{j}", "dense_values": xr[j].tolist()}
+                    for j in range(i, min(i + chunk, args.n))
                 ]
             },
             headers=h,

@@ -388,3 +388,49 @@ class TestCollectionCacheConfig:
         assert len(ctx.collections) == 2
         # the evicted one is still addressable: lazily reloaded on access
         assert ctx.get_collection("cc0") is not None
+
+
+class TestCoalescedCommit:
+    """index_version coalesces a fresh collection's upsert ops into one
+    bulk ingest; duplicate external ids keep the last occurrence."""
+
+    def test_bulk_path_with_cross_op_duplicates(self, tmp_path, monkeypatch):
+        from cosdata_tpu.core.collection import Collection
+
+        monkeypatch.setattr(Collection, "COALESCE_MIN", 10)
+        ctx = _ctx(tmp_path)
+        coll = _mk_collection(ctx, "cc1")
+        coll.create_dense_index(
+            quantization={"type": "auto", "sample_threshold": 10},
+            hnsw_params={"wave_size": 64, "ef_construction": 48,
+                         "ef_search": 64, "num_layers": 3, "max_iters": 48},
+        )
+        x = _unit(40, 32, 5)
+        txn = coll.create_transaction()
+        # op 1: v0..v19 with placeholder values; op 2: v10..v29 — the
+        # overlap (v10..v19) must resolve to op 2's vectors
+        coll.txn_upsert(
+            txn.txn_id,
+            [{"id": f"v{i}", "dense_values": x[i].tolist()} for i in range(20)],
+            upsert=False,
+        )
+        coll.txn_upsert(
+            txn.txn_id,
+            [{"id": f"v{i}", "dense_values": x[i + 10].tolist()}
+             for i in range(10, 30)],
+            upsert=True,
+        )
+        version = coll.commit_transaction(txn.txn_id)
+        ctx.indexing.trigger(coll, version, txn)
+        ctx.indexing.wait_idle()
+        st = txn.status.to_dict()
+        assert st["status"] == "complete"
+        assert st["records_upserted"] == 40  # raw op count, reference parity
+        # 30 distinct ids remain
+        assert len(coll.etoi) == 30
+        # overlapping id v15 must hold op 2's vector (x[25])
+        res = coll.search_dense([x[25].tolist()], top_k=1)
+        assert res[0][0]["id"] == "v15"
+        # op-1-only id unaffected
+        res = coll.search_dense([x[5].tolist()], top_k=1)
+        assert res[0][0]["id"] == "v5"

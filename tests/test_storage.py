@@ -123,3 +123,80 @@ class TestRoundTrip:
                 v = x[ids[i, j]]
                 want = (q[i] @ v) if metric == "dot" else -np.linalg.norm(q[i] - v)
                 np.testing.assert_allclose(got[i, j], want, rtol=1e-4, atol=1e-5)
+
+
+class TestDiskRaw:
+    """keep_raw="disk": raw rows in a memory-mapped file (beyond-RAM tier;
+    rows fault in via the OS page cache — lazy_item.rs's page-fault role)."""
+
+    def test_disk_rows_growth_and_rerank(self):
+        d = 96
+        x = _rand(300, d, seed=8)  # forces growth past initial capacity
+        vs = VectorStore(dim=d, kind="u8", initial_capacity=128, keep_raw="disk")
+        vs.add(x)
+        assert vs._raw is None and isinstance(vs._raw_host, np.memmap)
+        assert vs.raw_on_host
+        np.testing.assert_allclose(
+            vs.raw_rows(np.array([0, 150, 299])), x[[0, 150, 299]], rtol=1e-6
+        )
+        q = _rand(2, d, seed=13)
+        ids = np.array([[0, 5, 9], [100, 150, 299]])
+        ram = VectorStore(dim=d, kind="u8", initial_capacity=512, keep_raw="host")
+        ram.add(x)
+        np.testing.assert_allclose(
+            vs.rerank_scores_host(q, ids), ram.rerank_scores_host(q, ids),
+            rtol=1e-6,
+        )
+        # growth re-memmaps into a fresh file and unlinks the old one
+        import os
+        assert vs._raw_path is not None and os.path.exists(vs._raw_path)
+
+
+class TestU8Ship:
+    """ship_dtype="u8": host-side affine quantization parity."""
+
+    def test_codes_match_device_quantization(self):
+        d = 200  # unpadded on purpose (dim_pad 256)
+        x = _rand(500, d, seed=7) * 0.4
+        a = VectorStore(dim=d, kind="u8", range=(-0.3, 0.3), keep_raw=False,
+                        initial_capacity=128, ship_dtype="u8")
+        b = VectorStore(dim=d, kind="u8", range=(-0.3, 0.3), keep_raw=False,
+                        initial_capacity=128, ship_dtype="f32")
+        a.add(x)
+        b.add(x)
+        ca = np.asarray(a._arrays.data)[:500]
+        cb = np.asarray(b._arrays.data)[:500]
+        # identical f32 math on host and device; allow <=1-bucket drift on
+        # exact boundary values from fp reassociation differences
+        diff = np.abs(ca.astype(np.int32) - cb.astype(np.int32))
+        assert (diff <= 1).all()
+        assert (diff > 0).mean() < 1e-3
+        np.testing.assert_allclose(
+            np.asarray(a._arrays.mags)[:500], np.asarray(b._arrays.mags)[:500],
+            rtol=1e-4,
+        )
+        sa = np.asarray(a._arrays.sums)[:500]
+        sb = np.asarray(b._arrays.sums)[:500]
+        assert np.abs(sa - sb).max() <= np.int32(diff.sum(axis=1)).max()
+
+    def test_scores_match(self):
+        d = 128
+        x = _rand(300, d, seed=9) * 0.4
+        a = VectorStore(dim=d, kind="u8", range=(-0.3, 0.3), keep_raw="host",
+                        initial_capacity=128, ship_dtype="u8")
+        a.add(x)
+        q = a.quantize_queries(x[:4])
+        sc = np.asarray(a.scores_all(q))[:, :300]
+        assert (sc.argmax(axis=1) == np.arange(4)).all()
+
+    def test_device_raw_falls_back(self):
+        # keep_raw=True needs the f32 upload; ship_dtype="u8" must not
+        # silently drop the raw rows
+        d = 128
+        x = _rand(64, d, seed=3)
+        a = VectorStore(dim=d, kind="u8", range=(-1, 1), keep_raw=True,
+                        initial_capacity=64, ship_dtype="u8")
+        a.add(x)
+        np.testing.assert_allclose(
+            np.asarray(a._raw)[:64, :d], x, rtol=0, atol=1e-6
+        )
