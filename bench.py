@@ -156,7 +156,7 @@ def main():
     # ---- flat u8 scan (headline engine) ----
     try:
         flat = FlatIndex(dim=d, kind="u8", range_=rng_tuned, initial_capacity=n,
-                         ship_dtype="f16")
+                         ship_dtype="auto")
         t0 = time.time()
         for s in range(0, n, 131072):
             flat.add(x[s : s + 131072])
@@ -191,13 +191,13 @@ def main():
 
     # ---- HNSW u8 (graph engine; serves filtered + beyond-threshold) ----
     try:
-        # keep_raw="host" + ship_dtype="u8": 1-byte codes on the wire (the
-        # ~26 MB/s tunnel uplink dominates build time; f16 shipped 2x the
-        # bytes), raw f32 rows stay in host RAM for the exact rerank
+        # keep_raw="host": raw f32 rows stay in host RAM for the exact
+        # rerank. ship_dtype="auto" probes the tunnel once — u8 codes on a
+        # slow link, f32 on a fast one (host quantize passes dominate there)
         idx = HNSWIndex(
             dim=d, kind="u8", range_=rng_tuned, params=HNSWParams(),
             seed=3, initial_capacity=hnsw_n, keep_raw="host",
-            ship_dtype="u8",
+            ship_dtype="auto",
         )
         t0 = time.time()
         idx.add(x[:hnsw_n])
@@ -230,7 +230,7 @@ def main():
     try:
         qn = min(n, 262_144)  # 2-bit codes: memory-tight configs
         fq = FlatIndex(dim=d, kind="subbyte", resolution=2, initial_capacity=qn,
-                       ship_dtype="f16")
+                       ship_dtype="auto")
         t0 = time.time()
         for s in range(0, qn, 131072):
             fq.add(x[s : s + 131072])
@@ -360,7 +360,7 @@ def main():
         u_rng = tune_dense_range(ux[:1000])
         uidx = HNSWIndex(
             dim=d, kind="u8", range_=u_rng, params=HNSWParams(), seed=5,
-            initial_capacity=un, ship_dtype="f16",
+            initial_capacity=un, ship_dtype="auto",
         )
         uidx.add(ux)
         usec = {"n": un}
@@ -377,7 +377,7 @@ def main():
                 usec["op_ef"] = ef
         # what the API actually serves at this scale: the exact flat engine
         uf = FlatIndex(dim=d, kind="u8", range_=u_rng, initial_capacity=un,
-                       ship_dtype="f16")
+                       ship_dtype="auto")
         uf.add(ux)
         ufgot, _ = uf.search(uq, top_k=k, rerank=True)
         t0 = time.time()
@@ -398,7 +398,7 @@ def main():
 
         hb_n = min(n, 100_000)
         hflat = FlatIndex(dim=d, kind="u8", range_=rng_tuned,
-                          initial_capacity=hb_n, ship_dtype="f16")
+                          initial_capacity=hb_n, ship_dtype="auto")
         for s in range(0, hb_n, 131072):
             hflat.add(x[s : s + 131072])
         rng = np.random.default_rng(13)

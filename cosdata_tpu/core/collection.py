@@ -154,10 +154,10 @@ class DenseIndexHandle:
         return self.index is not None
 
     def _build(self):
-        # without device-raw rows the f32 upload is pure wire cost: ship
-        # host-quantized u8 codes instead (4x less ingest bandwidth on the
-        # tunneled link; VectorStore.add ship_dtype="u8")
-        ship = "u8" if (self.kind == "u8" and self.keep_raw is not True) else "f32"
+        # wire format picked per-process by a one-shot link probe: u8 codes
+        # when the tunneled link is slow, f32 when it's fast and the 1-core
+        # host quantize would dominate (VectorStore ship_dtype="auto")
+        ship = "auto"
         self.index = HNSWIndex(
             dim=self.dimension,
             metric=self.metric,

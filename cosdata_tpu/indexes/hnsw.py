@@ -552,6 +552,18 @@ class HNSWIndex:
     RP_LEAF = 8192
     RP_TREES = 2
     NN_DESCENT_ROUNDS = 1
+    #: per-leaf approx_max_k recall target. Selection is the leaf-kNN
+    #: bottleneck (einsum 6 ms vs selection 15-29 ms per 8k leaf); 0.85
+    #: measured recall-neutral after tree-union + NN-descent + reverse
+    #: edges (see BENCH.md)
+    LEAF_RECALL_TARGET = 0.85
+    #: NN-descent neighbor subsample per side (candidates = sample^2 per
+    #: node). 8 beats 16 on BOTH axes at 1M x 768 (recall@10 ef=128 0.978
+    #: vs 0.956): the descent merge is plain top-k by distance, so a
+    #: larger candidate pool overwrites more of the diversity-pruned
+    #: forward edges with closest-only edges and hurts graph navigability;
+    #: gather traffic also scales with sample^2
+    NN_SAMPLE = 8
 
     def _rp_order(self, members: np.ndarray, leaf: int, seed: int) -> np.ndarray:
         """Partition members into balanced leaves by recursive median splits
@@ -707,6 +719,7 @@ class HNSWIndex:
             ids_m, sc_m = HK.leaf_knn_gather(
                 self.store.metric, kind, self.store.dim_pad, kk, leaf_chunk,
                 jnp.asarray(order), jnp.asarray(pos_mem), self.store._arrays,
+                rt=self.LEAF_RECALL_TARGET,
             )
             parts_i.append(ids_m)
             parts_s.append(sc_m)
@@ -731,7 +744,7 @@ class HNSWIndex:
         if level == 0:
             self.adj0, self.adj0_d = HK.finalize_level0(
                 self.store.metric, kind, self.store.dim_pad, m_l,
-                self.NN_DESCENT_ROUNDS, 16, 256,
+                self.NN_DESCENT_ROUNDS, self.NN_SAMPLE, 256,
                 self.adj0, self.adj0_d, mem_dev, fwd_ids, fwd_d,
                 self.store._arrays,
             )

@@ -355,7 +355,7 @@ _INT_MAX = np.iinfo(np.int32).max if False else 2**31 - 1
 
 
 @functools.partial(
-    jax.jit, static_argnames=("metric", "kind", "d", "kk", "leaf_chunk")
+    jax.jit, static_argnames=("metric", "kind", "d", "kk", "leaf_chunk", "rt")
 )
 def leaf_knn_gather(
     metric: str,
@@ -366,12 +366,13 @@ def leaf_knn_gather(
     leaf_ids: jax.Array,  # (NL, L) int32 member ids per leaf, -1 padded
     pos_mem: jax.Array,  # (Mpad,) int32 flat position of each member (-1 pad)
     store,
+    rt: float = 0.85,
 ):
     """leaf_knn + per-member inverse-permutation gather fused into ONE
     program: every extra compiled program costs a multi-second first-load
     through this platform's remote-compile tunnel, so bulk-build stages are
     fused aggressively. Returns (ids (Mpad, kk), scores (Mpad, kk))."""
-    ids_t, sc_t = _leaf_knn_body(metric, kind, d, kk, leaf_chunk, leaf_ids, store)
+    ids_t, sc_t = _leaf_knn_body(metric, kind, d, kk, leaf_chunk, leaf_ids, store, rt)
     kk_t = ids_t.shape[-1]
     safe = jnp.maximum(pos_mem, 0)
     ids_m = ids_t.reshape(-1, kk_t)[safe]
@@ -384,7 +385,7 @@ def leaf_knn_gather(
     return ids_m, sc_m
 
 
-def _leaf_knn_body(metric, kind, d, kk, leaf_chunk, leaf_ids, store):
+def _leaf_knn_body(metric, kind, d, kk, leaf_chunk, leaf_ids, store, rt=0.85):
     nl, L = leaf_ids.shape
     kk = min(kk, L - 1)
     pad = (-nl) % leaf_chunk
@@ -416,10 +417,12 @@ def _leaf_knn_body(metric, kind, d, kk, leaf_chunk, leaf_ids, store):
             if L >= 4096:
                 # TPU-native approximate top-k (bucketed max-reduce) — the
                 # exact lax.top_k partial sort dominates leaf-kNN time at
-                # 8k-wide leaves; candidates are diversity-pruned and
-                # NN-descent-refined downstream, so per-leaf recall_target
-                # 0.95 does not bound final graph quality
-                top_s, pos = jax.lax.approx_max_k(sc, kk, recall_target=0.95)
+                # 8k-wide leaves (65 ms vs 6 ms for the int8 einsum itself;
+                # rt=0.85 selection runs 21 ms vs 35 ms at rt=0.95).
+                # Candidates are unioned across trees, diversity-pruned and
+                # NN-descent-refined downstream, so per-leaf selection
+                # recall does not bound final graph quality
+                top_s, pos = jax.lax.approx_max_k(sc, kk, recall_target=rt)
             else:
                 top_s, pos = jax.lax.top_k(sc, kk)
             cand = jnp.broadcast_to(ids_c[:, None, :], (lc, qc, L))
@@ -553,13 +556,13 @@ def upper_level_apply(
 def _gather_pair(sc: jax.Array, pos: jax.Array) -> jax.Array:
     """Candidate-candidate scores of the selected top-kk member columns:
     candidate a of row i IS member column pos[i, a], so
-    pair[i, a, b] = sc[pos[i, a], pos[i, b]] — two gathers of the full
-    (Mp, Mp) member score matrix, no recomputation."""
-    rows_sel = sc[pos]  # (Mp, kk, Mp): rows_sel[i, a, :] = sc[pos[i, a], :]
-    idx = jnp.broadcast_to(
-        pos[:, None, :], (pos.shape[0], pos.shape[1], pos.shape[1])
-    )
-    return jnp.take_along_axis(rows_sel, idx, axis=2)
+    pair[i, a, b] = sc[pos[i, a], pos[i, b]] — ONE flat gather of the
+    (Mp, Mp) member score matrix at indices pos[i,a]*Mp + pos[i,b].
+    (A row gather ``sc[pos]`` would materialize (Mp, kk, Mp) — 38 GB at
+    Mp=12288, kk=64 — and OOM'd HBM; the flat form peaks at (Mp, kk, kk).)"""
+    mp = sc.shape[0]
+    flat_idx = pos[:, :, None] * mp + pos[:, None, :]  # (Mp, kk, kk)
+    return sc.reshape(-1)[flat_idx]
 
 
 def _reverse_edges_body(adj, dist, src, fwd_rows, fwd_d, m, g_cap, chunk=65536):

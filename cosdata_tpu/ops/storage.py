@@ -65,6 +65,28 @@ def _u8_code_stats(codes: jax.Array, lo, hi, d_true: int):
     return sums, mags
 
 
+_WIRE_BW_MBPS: float | None = None
+
+
+def wire_bandwidth_mbps() -> float:
+    """Host->device transfer bandwidth, probed ONCE per process (16 MB
+    after an 8 KB warm-up put). Drives ship_dtype="auto": this platform's
+    device link is a remote tunnel whose throughput varies ~50x between
+    sessions, so the wire-format choice cannot be a compile-time constant."""
+    global _WIRE_BW_MBPS
+    if _WIRE_BW_MBPS is None:
+        import time as _time
+
+        buf = np.zeros(16 * 1024 * 1024, np.uint8)
+        jax.block_until_ready(jnp.asarray(buf[:8192]))
+        t0 = _time.perf_counter()
+        a = jnp.asarray(buf)
+        jax.block_until_ready(a)
+        _WIRE_BW_MBPS = 16.0 / max(_time.perf_counter() - t0, 1e-9)
+        del a, buf
+    return _WIRE_BW_MBPS
+
+
 @dataclass
 class VectorStore:
     """Growing device store of quantized vectors (+ optional raw f32)."""
@@ -83,13 +105,17 @@ class VectorStore:
     keep_raw: bool | str = True
     initial_capacity: int = 1024
     #: host->device wire dtype for ingested rows. "f16" halves ingest
-    #: bandwidth (the dominating build cost on a tunneled device link,
-    #: measured ~25 MB/s) at ~1e-3 relative value error — quantized codes
+    #: bandwidth at ~1e-3 relative value error — quantized codes
     #: and rerank scores are insensitive at that scale. "u8" (u8-kind
     #: stores only) quantizes on the HOST with the same affine math and
     #: ships the 1-byte codes — 4x less wire than f32; requires
     #: keep_raw != True (device-raw mode needs the f32 upload anyway).
-    #: "f32" = exact.
+    #: "f32" = exact. "auto" probes the link once per process and picks
+    #: u8 codes on a slow tunnel (<192 MB/s), else f32: link speed here
+    #: varies by 50x between sessions (measured 26 MB/s congested vs
+    #: 1.4 GB/s idle), and on a fast link the single-core host-quantize
+    #: pass — not the wire — dominates ingest (13 s vs 0.3 s per 131k
+    #: chunk measured).
     ship_dtype: str = "f32"
 
     n: int = field(default=0, init=False)
@@ -101,6 +127,13 @@ class VectorStore:
     def __post_init__(self):
         from cosdata_tpu.store.chunked import DirtyTracker
 
+        if self.ship_dtype == "auto":
+            if wire_bandwidth_mbps() >= 192.0:
+                self.ship_dtype = "f32"  # wire is cheap; skip host passes
+            elif self.kind == "u8" and self.keep_raw is not True:
+                self.ship_dtype = "u8"  # 1-byte codes on a slow link
+            else:
+                self.ship_dtype = "f16"
         self.dim_pad = _round_up(self.dim, _LANE)
         self.capacity = max(_round_up(self.initial_capacity, _LANE), _LANE)
         self._arrays = self._empty(self.capacity)
@@ -249,19 +282,21 @@ class VectorStore:
         for s in range(0, b, self.ADD_CHUNK):
             piece = x_np[s : s + self.ADD_CHUNK]
             if ship_u8:
-                # host-side affine quantization, identical math/order to
+                # host-side affine quantization, identical math to
                 # quantize_u8 (scalar.rs:18-28 parity): floor of
-                # (clip(x)-lo)/(hi-lo)*255 in f32, padded lanes -> code 0
+                # (clip(x)-lo)/(hi-lo)*255, padded lanes -> code 0.
+                # Minimal-pass form for the 1-core host: one fused
+                # scale+clip in f32, uint8 truncation (== floor on the
+                # clipped non-negative range), then center via XOR 0x80 +
+                # int8 view instead of two widen/narrow passes
                 lo, hi = self.range
-                scaled = (
-                    (np.clip(piece, lo, hi) - np.float32(lo))
-                    / np.float32(hi - lo)
-                    * np.float32(255.0)
-                )
-                u8 = np.clip(np.floor(scaled), 0, 255).astype(np.int16)
+                scaled = (piece - np.float32(lo)) * np.float32(255.0 / (hi - lo))
+                np.clip(scaled, 0.0, 255.0, out=scaled)
+                u8 = scaled.astype(np.uint8)
                 if self.dim_pad != self.dim:
                     u8[:, self.dim :] = 0
-                cj = jnp.asarray((u8 - 128).astype(np.int8))
+                u8 ^= 128
+                cj = jnp.asarray(u8.view(np.int8))
                 sums, mags = _u8_code_stats(
                     cj, np.float32(lo), np.float32(hi), self.dim
                 )

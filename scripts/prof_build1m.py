@@ -34,21 +34,39 @@ else:
 r = tune_dense_range(x[:1000])
 print("data ready", flush=True)
 
+# A/B knobs for build-quality/throughput trades (class attrs, compile-keyed)
+if os.environ.get("COSDATA_RT"):
+    HNSWIndex.LEAF_RECALL_TARGET = float(os.environ["COSDATA_RT"])
+if os.environ.get("COSDATA_NNSAMPLE"):
+    HNSWIndex.NN_SAMPLE = int(os.environ["COSDATA_NNSAMPLE"])
+if os.environ.get("COSDATA_ROUNDS"):
+    HNSWIndex.NN_DESCENT_ROUNDS = int(os.environ["COSDATA_ROUNDS"])
+if os.environ.get("COSDATA_TREES"):
+    HNSWIndex.RP_TREES = int(os.environ["COSDATA_TREES"])
+print(f"rt={HNSWIndex.LEAF_RECALL_TARGET} sample={HNSWIndex.NN_SAMPLE} "
+      f"rounds={HNSWIndex.NN_DESCENT_ROUNDS} trees={HNSWIndex.RP_TREES}",
+      flush=True)
+
 idx = HNSWIndex(dim=d, kind="u8", range_=r, params=HNSWParams(), seed=3,
-                initial_capacity=n, keep_raw="host", ship_dtype="u8")
+                initial_capacity=n, keep_raw="host", ship_dtype="auto")
 t0 = time.time()
 idx.add(x)
 dt = time.time() - t0
 print(f"build {n} in {dt:.1f}s = {n/dt:.0f} vec/s", flush=True)
 
-# recall check: 128 queries, exact truth via numpy (~30 s host)
+# recall check: 128 queries; exact truth via numpy, cached across A/B runs
 nq, k = 128, 10
 rng = np.random.default_rng(1)
 q = x[rng.integers(0, n, nq)] + 0.02 * rng.normal(size=(nq, d)).astype(np.float32)
 q /= np.linalg.norm(q, axis=1, keepdims=True)
-s = q @ x.T
-true = np.argpartition(-s, k, axis=1)[:, :k]
-for ef in (128, 256):
+tcache = f"/tmp/xc_true_{n}_{d}.npy"
+if os.path.exists(tcache):
+    true = np.load(tcache)
+else:
+    s = q @ x.T
+    true = np.argpartition(-s, k, axis=1)[:, :k]
+    np.save(tcache, true)
+for ef in (64, 128, 256):
     got, _ = idx.search(q, top_k=k, ef=ef)
     hits = np.mean([len(set(map(int, got[i])) & set(map(int, true[i]))) / k
                     for i in range(nq)])

@@ -91,7 +91,7 @@ n = 16 * L
 x = rng.normal(size=(n, D)).astype(np.float32)
 x /= np.linalg.norm(x, axis=1, keepdims=True)
 vs = VectorStore(dim=D, kind="u8", range=(-0.2, 0.2), keep_raw=False,
-                 initial_capacity=n, ship_dtype="u8")
+                 initial_capacity=n, ship_dtype="auto")
 vs.add(x)
 order = np.arange(n, dtype=np.int32).reshape(16, L)
 pos_mem = np.arange(n, dtype=np.int32)
