@@ -26,6 +26,11 @@ import traceback
 import numpy as np
 
 
+def _progress(msg):
+    """Section progress to stderr (stdout carries ONLY the JSON line)."""
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
 def gen_clustered(n, d, nq, seed=0):
     """Clustered synthetic corpus — the geometry of real embedding datasets
     (SIFT1M/GloVe/Cohere are unavailable in this zero-egress image; uniform
@@ -128,6 +133,7 @@ def main():
     from cosdata_tpu.utils.device import warmup_device
 
     out["warmup_s"] = round(warmup_device(), 1)
+    _progress("warmup done")
 
     # ground truth on-device: exact f32 scan (FlatIndex f32 stores raw rows
     # and scores them in f32 — no quantization anywhere in this path). The
@@ -153,6 +159,7 @@ def main():
     rng_tuned = tune_dense_range(x[:1000])
     flat_qps = 0.0
 
+    _progress("truth done")
     # ---- flat u8 scan (headline engine) ----
     try:
         flat = FlatIndex(dim=d, kind="u8", range_=rng_tuned, initial_capacity=n,
@@ -189,6 +196,7 @@ def main():
     except Exception:
         out["flat_error"] = traceback.format_exc(limit=2)
 
+    _progress("flat done")
     # ---- HNSW u8 (graph engine; serves filtered + beyond-threshold) ----
     try:
         # keep_raw="host": raw f32 rows stay in host RAM for the exact
@@ -226,6 +234,7 @@ def main():
     except Exception:
         out["hnsw_error"] = traceback.format_exc(limit=2)
 
+    _progress("hnsw done")
     # ---- quaternary 2-bit on-chip operating point ----
     try:
         qn = min(n, 262_144)  # 2-bit codes: memory-tight configs
@@ -253,6 +262,7 @@ def main():
     except Exception:
         out["quaternary_error"] = traceback.format_exc(limit=2)
 
+    _progress("quaternary done")
     # ---- sparse inverted index (SPLADE shape) + BM25 + hybrid ----
     try:
         from cosdata_tpu.indexes.inverted import InvertedIndex
@@ -345,6 +355,7 @@ def main():
     except Exception:
         out["bm25_error"] = traceback.format_exc(limit=2)
 
+    _progress("sparse/bm25 done")
     # ---- uniform (adversarial) geometry: HNSW operating point ----
     # uniform random high-dim is the hardest case for graph ANN; report the
     # ef ladder and the first operating point with recall@10 >= 0.95
@@ -392,6 +403,7 @@ def main():
     except Exception:
         out["uniform_error"] = traceback.format_exc(limit=2)
 
+    _progress("uniform done")
     # ---- hybrid RRF (dense + sparse legs fused, search/repo.rs:168-341) ----
     try:
         from cosdata_tpu.indexes.inverted import InvertedIndex as _Inv
