@@ -109,6 +109,20 @@ def main():
     d, nq, k = 768, 1024, 10
     out = {"n": n, "d": d}
 
+    # wall-clock deadline: sections run headline-first, so if remote
+    # compiles / tunnel stalls eat the budget we still emit the JSON line
+    # with the headline metric instead of being killed mid-section
+    deadline_s = float(os.environ.get("BENCH_DEADLINE_S", "3300"))
+    t_bench0 = time.time()
+
+    def deadline_check(section: str) -> None:
+        """Raises inside a section's try: the except records it and the
+        bench moves on, so the final JSON line always gets printed."""
+        if time.time() - t_bench0 > deadline_s:
+            out.setdefault("skipped_sections", []).append(section)
+            _progress(f"skipping {section}: past {deadline_s:.0f}s deadline")
+            raise TimeoutError(f"{section}: past bench deadline, skipped")
+
     t0 = time.time()
     x, q = gen_clustered(n, d, nq)
     out["gen_s"] = round(time.time() - t0, 1)
@@ -199,6 +213,7 @@ def main():
     _progress("flat done")
     # ---- HNSW u8 (graph engine; serves filtered + beyond-threshold) ----
     try:
+        deadline_check("hnsw")
         # keep_raw="host": raw f32 rows stay in host RAM for the exact
         # rerank. ship_dtype="auto" probes the tunnel once — u8 codes on a
         # slow link, f32 on a fast one (host quantize passes dominate there)
@@ -237,6 +252,7 @@ def main():
     _progress("hnsw done")
     # ---- quaternary 2-bit on-chip operating point ----
     try:
+        deadline_check("quaternary")
         qn = min(n, 262_144)  # 2-bit codes: memory-tight configs
         fq = FlatIndex(dim=d, kind="subbyte", resolution=2, initial_capacity=qn,
                        ship_dtype="auto")
@@ -265,6 +281,7 @@ def main():
     _progress("quaternary done")
     # ---- sparse inverted index (SPLADE shape) + BM25 + hybrid ----
     try:
+        deadline_check("sparse")
         from cosdata_tpu.indexes.inverted import InvertedIndex
 
         sn, vocab, nnz_doc, nnz_q = min(n, 500_000), 30_000, 64, 24
@@ -331,6 +348,7 @@ def main():
         out["sparse_error"] = traceback.format_exc(limit=2)
 
     try:
+        deadline_check("bm25")
         from cosdata_tpu.indexes.tf_idf import TFIDFIndex
 
         bn = min(n, 100_000)
@@ -387,6 +405,7 @@ def main():
     # ef ladder and the first operating point with recall@10 >= 0.95
     # (VERDICT r1 weak #1: defaults must hold on hard geometry too)
     try:
+        deadline_check("uniform")
         un = min(n, 100_000)
         rngu = np.random.default_rng(11)
         ux = rngu.uniform(-1, 1, size=(un, d)).astype(np.float32)
@@ -432,6 +451,7 @@ def main():
     _progress("uniform done")
     # ---- hybrid RRF (dense + sparse legs fused, search/repo.rs:168-341) ----
     try:
+        deadline_check("hybrid")
         from cosdata_tpu.indexes.inverted import InvertedIndex as _Inv
 
         hb_n = min(n, 100_000)

@@ -118,7 +118,7 @@ class FlatIndex:
                 mask = self._mask()
             kind = "float" if self.store.kind in ("f16", "f32") else self.store.kind
             do_rerank = bool(rerank and self.store.keep_raw is True)
-            q_raw = self.store._pad_dims(queries)
+            q_raw = self.store.ship_queries(queries)
             raw = self.store._raw if do_rerank else q_raw
             return fused_flat_search(
                 self.store.metric, kind, self.store.dim, self.store.dim_pad,
@@ -130,7 +130,7 @@ class FlatIndex:
         scores = self.store.scores_all(q)
         vals, ids = topk(scores, k_fetch, mask=mask[None, :])
         if rerank and self.store.keep_raw is True:
-            re = self.store.rerank_scores(jnp.asarray(queries), ids)
+            re = self.store.rerank_scores(queries, ids)
             re = jnp.where(vals > NEG_INF / 2, re, NEG_INF)
             vals, pos = jax.lax.top_k(re, top_k)
             ids = jnp.take_along_axis(ids, pos, axis=1)

@@ -1207,7 +1207,7 @@ class HNSWIndex:
         bp = max(8, 1 << int(np.ceil(np.log2(b))))
         if bp != b:
             queries = np.concatenate([queries, np.repeat(queries[-1:], bp - b, 0)])
-        q_raw = self.store._pad_dims(queries)
+        q_raw = self.store.ship_queries(queries)
         upper = self._active_upper_levels()
         # cache the small per-call device constants (entry id, upper-level
         # list): on a remote link every host->device transfer is a round trip
@@ -1328,7 +1328,7 @@ class HNSWIndex:
                     m = np.zeros(self.cap, bool)
                     m[: len(mask)] = mask
                     valid = valid & jnp.asarray(m)
-            q_raw = self.store._pad_dims(queries)
+            q_raw = self.store.ship_queries(queries)
             raw = self.store._raw if do_rerank else q_raw
             ids, vals = fused_flat_search(
                 self.store.metric, self._kind(), self.store.dim,
@@ -1341,7 +1341,7 @@ class HNSWIndex:
         scores = self.store.scores_all(q)
         vals, ids = jax.lax.top_k(jnp.where(valid[None, :], scores, NEG_INF), keep)
         if do_rerank:
-            re = self.store.rerank_scores(jnp.asarray(queries), ids)
+            re = self.store.rerank_scores(queries, ids)
             vals = jnp.where(vals > NEG_INF / 2, re, NEG_INF)
             vals, pos = jax.lax.top_k(vals, top_k)
             ids = jnp.take_along_axis(ids, pos, axis=1)

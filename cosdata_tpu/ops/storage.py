@@ -256,6 +256,17 @@ class VectorStore:
             return jnp.asarray(x.astype(np.float16)).astype(jnp.float32)
         return jnp.asarray(x)
 
+    def ship_queries(self, x: np.ndarray) -> jax.Array:
+        """Upload a query batch, halving the wire on a slow link.
+
+        On a congested tunnel the per-search query upload is the serving
+        throughput ceiling (1024x768 f32 = 3 MB/batch; 26 MB/s congested
+        link => ~8 batches/s no matter how fast the MXU is). f16 halves it
+        at ~1e-3 relative error — irrelevant to u8-quantized scoring and
+        to rerank orderings. On a fast link (>=192 MB/s probed) queries
+        ship exact f32, so CPU tests and idle-link serving are unchanged."""
+        return self._pad_dims(x, ship_f16=wire_bandwidth_mbps() < 192.0)
+
     def _quantize(self, xj: jax.Array):
         return _quantize_batch(
             xj, self.range[0], self.range[1], self.kind, self.resolution, self.dim
