@@ -342,6 +342,14 @@ def main():
         for _ in range(3):
             ids, sc = inv.search(queries, top_k=k)
         sp_qps = 3 * len(queries) / (time.time() - t0)
+        # 256-query batches amortize the per-dispatch tunnel round trip
+        # (the batch endpoint's throughput shape)
+        qbig = queries * 4
+        inv.search(qbig, top_k=k)  # compile
+        t0 = time.time()
+        for _ in range(3):
+            inv.search(qbig, top_k=k)
+        sp_qps_big = 3 * len(qbig) / (time.time() - t0)
         # self-retrieval sanity: each query is a subset of doc j's terms
         self_hit = np.mean([int(j in set(map(int, ids[jj]))) for jj, j in enumerate(range(64))])
         # quality vs the unbudgeted oracle (same index, full posting scan):
@@ -359,7 +367,9 @@ def main():
         out["sparse"] = {
             "n_docs": sn,
             "ingest_dps": round(sp_ingest, 1),
-            "qps": round(sp_qps, 1),
+            "qps": round(max(sp_qps, sp_qps_big), 1),
+            "qps_b64": round(sp_qps, 1),
+            "qps_b256": round(sp_qps_big, 1),
             "self_recall": round(float(self_hit), 3),
             "recall_vs_exact": round(float(sp_vs_exact), 3),
         }
@@ -395,6 +405,12 @@ def main():
         for _ in range(3):
             ids, sc = tfi.search(bq, top_k=k)
         bm_qps = 3 * len(bq) / (time.time() - t0)
+        bqbig = bq * 4
+        tfi.search(bqbig, top_k=k)  # compile
+        t0 = time.time()
+        for _ in range(3):
+            tfi.search(bqbig, top_k=k)
+        bm_qps_big = 3 * len(bqbig) / (time.time() - t0)
         self_hit = np.mean([int(j in set(map(int, ids[jj]))) for jj, j in enumerate(range(64))])
         # budget-vs-oracle overlap@k (see sparse section comment): exact
         # brute-force BM25 scores the same self_recall on this corpus
@@ -411,7 +427,9 @@ def main():
         out["bm25"] = {
             "n_docs": bn,
             "ingest_dps": round(bm_ingest, 1),
-            "qps": round(bm_qps, 1),
+            "qps": round(max(bm_qps, bm_qps_big), 1),
+            "qps_b64": round(bm_qps, 1),
+            "qps_b256": round(bm_qps_big, 1),
             "self_recall": round(float(self_hit), 3),
             "recall_vs_exact": round(float(bm_vs_exact), 3),
         }

@@ -200,3 +200,35 @@ class TestU8Ship:
         np.testing.assert_allclose(
             np.asarray(a._raw)[:64, :d], x, rtol=0, atol=1e-6
         )
+
+
+class TestQueryWire:
+    """ship_queries: f16 query wire on slow links (ops/storage.py)."""
+
+    def test_f16_wire_preserves_search_quality(self, monkeypatch):
+        import cosdata_tpu.ops.storage as st
+
+        monkeypatch.setattr(st, "_WIRE_BW_MBPS", 10.0)  # force slow-link path
+        d = 96
+        x = _rand(200, d, seed=5)
+        vs = VectorStore(dim=d, kind="u8", range=(-1, 1), initial_capacity=256)
+        vs.add(x)
+        qj = vs.ship_queries(x[:6])
+        assert qj.dtype == jnp.float32 and qj.shape[1] == vs.dim_pad
+        # f16 wire loses <1e-3 relative — self-match must survive quantized
+        # scoring and exact rerank alike
+        sc = np.asarray(vs.scores_all(vs._quantize(qj)))[:, : vs.n]
+        assert (sc.argmax(axis=1) == np.arange(6)).all()
+        re = np.asarray(
+            vs.rerank_scores(x[:6], np.tile(np.arange(200), (6, 1))[:, :50])
+        )
+        assert (re.argmax(axis=1) == np.arange(6)).all()
+
+    def test_fast_link_ships_f32_exact(self, monkeypatch):
+        import cosdata_tpu.ops.storage as st
+
+        monkeypatch.setattr(st, "_WIRE_BW_MBPS", 1000.0)
+        vs = VectorStore(dim=64, kind="u8", initial_capacity=64)
+        x = _rand(8, 64, seed=6)
+        qj = np.asarray(vs.ship_queries(x))
+        np.testing.assert_array_equal(qj[:, :64], x)
