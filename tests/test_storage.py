@@ -232,3 +232,69 @@ class TestQueryWire:
         x = _rand(8, 64, seed=6)
         qj = np.asarray(vs.ship_queries(x))
         np.testing.assert_array_equal(qj[:, :64], x)
+
+
+class TestHostNative:
+    """Native host kernels (csrc/host_kernels.cpp) vs the numpy wire path:
+    must be BIT-identical (they feed the same device codes)."""
+
+    def _skip_if_missing(self):
+        from cosdata_tpu.ops import host_native
+
+        if not host_native.available():
+            pytest.skip("_hostkernels.so not built (make -C csrc)")
+        return host_native
+
+    def test_quantize_u8_centered_bitexact(self):
+        hn = self._skip_if_missing()
+        rng = np.random.default_rng(2)
+        x = rng.uniform(-1.5, 1.5, size=(257, 96)).astype(np.float32)
+        x[0, :4] = [-9.0, 9.0, -1.0, 1.0]  # clip + boundary values
+        lo, hi, d_true = -1.0, 1.0, 90
+        scaled = (x - np.float32(lo)) * np.float32(255.0 / (hi - lo))
+        np.clip(scaled, 0.0, 255.0, out=scaled)
+        u8 = scaled.astype(np.uint8)
+        u8[:, d_true:] = 0
+        u8 ^= 128
+        ref = u8.view(np.int8)
+        got = hn.quantize_u8_centered(x, lo, hi, d_true)
+        np.testing.assert_array_equal(got, ref)
+
+    def test_f32_to_f16_bitexact(self):
+        hn = self._skip_if_missing()
+        rng = np.random.default_rng(3)
+        y = (
+            rng.normal(size=4096)
+            * 10.0 ** rng.integers(-6, 5, 4096).astype(np.float64)
+        ).astype(np.float32)
+        y[:8] = [0.0, -0.0, 1e-8, 65504.0, 70000.0, -70000.0, np.inf, -np.inf]
+        np.testing.assert_array_equal(
+            hn.f32_to_f16(y).view(np.uint16),
+            y.astype(np.float16).view(np.uint16),
+        )
+
+    def test_u8_wire_uses_native(self):
+        # end-to-end: ship_dtype="u8" ingest produces identical device codes
+        # whether or not the native kernel is used
+        from cosdata_tpu.ops import host_native
+
+        if not host_native.available():
+            pytest.skip("_hostkernels.so not built")
+        x = _rand(100, 80, seed=7) * 0.5
+        stores = []
+        import cosdata_tpu.ops.host_native as hn_mod
+        import unittest.mock as mock
+
+        for force_numpy in (False, True):
+            ctx = (
+                mock.patch.object(hn_mod, "_lib", None)
+                if force_numpy
+                else mock.patch.object(hn_mod, "_lib", hn_mod._lib)
+            )
+            with ctx:
+                vs = VectorStore(dim=80, kind="u8", range=(-0.6, 0.6),
+                                 keep_raw=False, initial_capacity=128,
+                                 ship_dtype="u8")
+                vs.add(x)
+                stores.append(np.asarray(vs._arrays.data)[:100])
+        np.testing.assert_array_equal(stores[0], stores[1])
