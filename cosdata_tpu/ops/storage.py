@@ -138,7 +138,14 @@ class VectorStore:
         from cosdata_tpu.store.chunked import DirtyTracker
 
         if self.ship_dtype == "auto":
-            if wire_bandwidth_mbps() >= 192.0:
+            from cosdata_tpu.ops import host_native
+
+            # with the native quantizer the host pass is ~0.14 s per 131k
+            # chunk (vs 13-20 s numpy), so 1-byte codes beat f32 on any
+            # link below ~2 GB/s (302 MB saved per chunk vs 0.14 s spent);
+            # without it the old 192 MB/s crossover applies
+            f32_cutoff = 2048.0 if host_native.available() else 192.0
+            if wire_bandwidth_mbps() >= f32_cutoff:
                 self.ship_dtype = "f32"  # wire is cheap; skip host passes
             elif self.kind == "u8" and self.keep_raw is not True:
                 self.ship_dtype = "u8"  # 1-byte codes on a slow link
