@@ -797,9 +797,23 @@ class Collection:
             mask_fn = compile_filter(self.schema, filter_dto)
             self.dense.finalize_sampling()
             row_mask = self.dense.row_mask_for(mask_fn)
-        ids, scores = self.dense.search(
-            np.asarray(query_vectors, np.float32), top_k, row_mask=row_mask
-        )
+        if row_mask is None:
+            # unfiltered requests coalesce into one device dispatch
+            # (core/microbatch.py — the SURVEY §7 batching queue)
+            batcher = self.__dict__.get("_dense_batcher")
+            if batcher is None:
+                from cosdata_tpu.core.microbatch import MicroBatcher
+
+                batcher = self._dense_batcher = MicroBatcher(
+                    lambda q, k: self.dense.search(q, k)
+                )
+            ids, scores = batcher.search(
+                np.asarray(query_vectors, np.float32), top_k
+            )
+        else:
+            ids, scores = self.dense.search(
+                np.asarray(query_vectors, np.float32), top_k, row_mask=row_mask
+            )
         return self._format_results(ids, scores, return_raw_text)
 
     def search_sparse(self, query_terms_list, top_k=10, early_terminate_threshold=None,
