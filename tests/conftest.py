@@ -46,6 +46,9 @@ _ensure_native_text()
 # selection is auditable in one place.
 _FAST_NODES = [
     ("test_cosql.py", ""),  # whole module (pure-python parser)
+    ("test_microbatch.py", ""),  # whole module (served-path coalescing)
+    ("test_storage.py", "TestHostNative"),  # native kernel bit-parity
+    ("test_storage.py", "TestQueryWire"),
     ("test_native_text.py", ""),  # whole module (C++ pipeline parity)
     ("test_store.py", "TestWAL"),
     ("test_store.py", "TestVersioning"),
