@@ -823,7 +823,7 @@ class Collection:
         factor = int(getattr(self.app_config, "sparse_raw_values_reranking_factor", 5))
         kwargs = dict(top_k=top_k, rerank=rerank, rerank_factor=factor)
         if early_terminate_threshold is not None:
-            # per-request override (dtos.rs:44)
+            # per-request override (dtos.rs:44) — bypasses coalescing
             old = self.sparse.early_terminate_threshold
             self.sparse.early_terminate_threshold = early_terminate_threshold
             try:
@@ -831,11 +831,27 @@ class Collection:
             finally:
                 self.sparse.early_terminate_threshold = old
         else:
-            ids, scores = self.sparse.search(query_terms_list, **kwargs)
+            batcher = self.__dict__.get("_sparse_batcher")
+            if batcher is None:
+                from cosdata_tpu.core.microbatch import MicroBatcher
+
+                batcher = self._sparse_batcher = MicroBatcher(
+                    lambda qs, k: self.sparse.search(
+                        qs, top_k=k, rerank=rerank, rerank_factor=factor
+                    )
+                )
+            ids, scores = batcher.search(list(query_terms_list), top_k)
         return self._format_results(ids, scores, return_raw_text)
 
     def search_tfidf(self, queries, top_k=10, return_raw_text=False):
-        ids, scores = self.tfidf.search(queries, top_k=top_k)
+        batcher = self.__dict__.get("_tfidf_batcher")
+        if batcher is None:
+            from cosdata_tpu.core.microbatch import MicroBatcher
+
+            batcher = self._tfidf_batcher = MicroBatcher(
+                lambda qs, k: self.tfidf.search(qs, top_k=k)
+            )
+        ids, scores = batcher.search(list(queries), top_k)
         return self._format_results(ids, scores, return_raw_text)
 
     def hybrid_search(self, query: dict, top_k=10, fusion_constant_k=60.0,

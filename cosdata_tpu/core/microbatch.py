@@ -41,8 +41,21 @@ class MicroBatcher:
         self._pending: list[tuple[np.ndarray, int, threading.Event, dict]] = []
         self._leader_active = False
 
-    def search(self, queries: np.ndarray, top_k: int):
-        queries = np.atleast_2d(np.asarray(queries, np.float32))
+    @staticmethod
+    def _concat(parts):
+        if isinstance(parts[0], np.ndarray):
+            return np.concatenate(parts)
+        out = []
+        for p in parts:
+            out.extend(p)
+        return out
+
+    def search(self, queries, top_k: int):
+        """`queries` is a (B, d) array (dense) or a list of per-query
+        payloads (sparse term pairs / BM25 texts) — anything `run` takes
+        whose results come back as (B, K) arrays."""
+        if isinstance(queries, np.ndarray) or not isinstance(queries, (list, tuple)):
+            queries = np.atleast_2d(np.asarray(queries, np.float32))
         if len(queries) >= self.MAX_BATCH:
             return self._run(queries, top_k)
         ev = threading.Event()
@@ -67,7 +80,7 @@ class MicroBatcher:
                 q, k, _, _ = batch[0]
                 out = self._run(q, k)
                 return out
-            qs = np.concatenate([b[0] for b in batch])
+            qs = self._concat([b[0] for b in batch])
             k_max = max(b[1] for b in batch)
             ids, scores = self._run(qs, k_max)
             ids = np.asarray(ids)

@@ -84,3 +84,27 @@ class TestMicroBatcher:
         q = np.zeros((8, 8), np.float32)
         ids, sc = mb.search(q, 2)
         assert ids.shape == (8, 2) and calls == [8]
+
+
+class TestListPayloads:
+    def test_list_queries_coalesce(self):
+        # engine over list payloads (the sparse/BM25 shape)
+        def run(qs, k):
+            ids = np.stack([np.full(k, len(q)) for q in qs])
+            return ids, ids.astype(np.float32)
+
+        mb = MicroBatcher(run)
+        mb.WINDOW_S = 0.05
+        results = {}
+
+        def worker(i):
+            ids, sc = mb.search([list(range(i))], 3)
+            results[i] = ids
+
+        ts = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        for i, ids in results.items():
+            assert (ids == i).all()
