@@ -800,21 +800,45 @@ class Collection:
         if row_mask is None:
             # unfiltered requests coalesce into one device dispatch
             # (core/microbatch.py — the SURVEY §7 batching queue)
-            batcher = self.__dict__.get("_dense_batcher")
-            if batcher is None:
-                from cosdata_tpu.core.microbatch import MicroBatcher
-
-                batcher = self._dense_batcher = MicroBatcher(
-                    lambda q, k: self.dense.search(q, k)
-                )
-            ids, scores = batcher.search(
-                np.asarray(query_vectors, np.float32), top_k
-            )
+            ids, scores = self._batcher(
+                "_dense_batcher", lambda q, k: self.dense.search(q, k)
+            ).search(np.asarray(query_vectors, np.float32), top_k)
         else:
-            ids, scores = self.dense.search(
-                np.asarray(query_vectors, np.float32), top_k, row_mask=row_mask
-            )
+            with self._engine_dispatch_lock:
+                ids, scores = self.dense.search(
+                    np.asarray(query_vectors, np.float32), top_k,
+                    row_mask=row_mask,
+                )
         return self._format_results(ids, scores, return_raw_text)
+
+    @property
+    def _engine_dispatch_lock(self):
+        """One lock per collection serializing every engine search call —
+        batched or bypass — so concurrent searches never race inside the
+        index handles (CSR rebuilds, capacity growth, cached consts)."""
+        lock = self.__dict__.get("_engine_lock")
+        if lock is None:
+            with self.lock:
+                lock = self.__dict__.setdefault(
+                    "_engine_lock", threading.RLock()
+                )
+        return lock
+
+    def _batcher(self, attr: str, run):
+        """Lazily build the per-engine MicroBatcher exactly once; all
+        batchers of this collection share the engine dispatch lock."""
+        batcher = self.__dict__.get(attr)
+        if batcher is None:
+            from cosdata_tpu.core.microbatch import MicroBatcher
+
+            with self.lock:
+                batcher = self.__dict__.get(attr)
+                if batcher is None:
+                    batcher = MicroBatcher(
+                        run, dispatch_lock=self._engine_dispatch_lock
+                    )
+                    self.__dict__[attr] = batcher
+        return batcher
 
     def search_sparse(self, query_terms_list, top_k=10, early_terminate_threshold=None,
                       return_raw_text=False):
@@ -823,35 +847,37 @@ class Collection:
         factor = int(getattr(self.app_config, "sparse_raw_values_reranking_factor", 5))
         kwargs = dict(top_k=top_k, rerank=rerank, rerank_factor=factor)
         if early_terminate_threshold is not None:
-            # per-request override (dtos.rs:44) — bypasses coalescing
-            old = self.sparse.early_terminate_threshold
-            self.sparse.early_terminate_threshold = early_terminate_threshold
-            try:
-                ids, scores = self.sparse.search(query_terms_list, **kwargs)
-            finally:
-                self.sparse.early_terminate_threshold = old
+            # per-request override (dtos.rs:44): mutates engine state, so
+            # hold the shared dispatch lock — coalesced batches in flight
+            # must not observe another request's threshold
+            with self._engine_dispatch_lock:
+                old = self.sparse.early_terminate_threshold
+                self.sparse.early_terminate_threshold = early_terminate_threshold
+                try:
+                    ids, scores = self.sparse.search(query_terms_list, **kwargs)
+                finally:
+                    self.sparse.early_terminate_threshold = old
         else:
-            batcher = self.__dict__.get("_sparse_batcher")
-            if batcher is None:
-                from cosdata_tpu.core.microbatch import MicroBatcher
-
-                batcher = self._sparse_batcher = MicroBatcher(
-                    lambda qs, k: self.sparse.search(
-                        qs, top_k=k, rerank=rerank, rerank_factor=factor
-                    )
-                )
-            ids, scores = batcher.search(list(query_terms_list), top_k)
+            # config is re-read per call inside the lambda (not frozen at
+            # batcher construction)
+            ids, scores = self._batcher(
+                "_sparse_batcher",
+                lambda qs, k: self.sparse.search(
+                    qs, top_k=k,
+                    rerank=bool(getattr(
+                        self.app_config, "rerank_sparse_with_raw_values", False
+                    )),
+                    rerank_factor=int(getattr(
+                        self.app_config, "sparse_raw_values_reranking_factor", 5
+                    )),
+                ),
+            ).search(list(query_terms_list), top_k)
         return self._format_results(ids, scores, return_raw_text)
 
     def search_tfidf(self, queries, top_k=10, return_raw_text=False):
-        batcher = self.__dict__.get("_tfidf_batcher")
-        if batcher is None:
-            from cosdata_tpu.core.microbatch import MicroBatcher
-
-            batcher = self._tfidf_batcher = MicroBatcher(
-                lambda qs, k: self.tfidf.search(qs, top_k=k)
-            )
-        ids, scores = batcher.search(list(queries), top_k)
+        ids, scores = self._batcher(
+            "_tfidf_batcher", lambda qs, k: self.tfidf.search(qs, top_k=k)
+        ).search(list(queries), top_k)
         return self._format_results(ids, scores, return_raw_text)
 
     def hybrid_search(self, query: dict, top_k=10, fusion_constant_k=60.0,

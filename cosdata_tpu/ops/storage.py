@@ -279,10 +279,17 @@ class VectorStore:
         On a congested tunnel the per-search query upload is the serving
         throughput ceiling (1024x768 f32 = 3 MB/batch; 26 MB/s congested
         link => ~8 batches/s no matter how fast the MXU is). f16 halves it
-        at ~1e-3 relative error — irrelevant to u8-quantized scoring and
-        to rerank orderings. On a fast link (>=192 MB/s probed) queries
-        ship exact f32, so CPU tests and idle-link serving are unchanged."""
-        return self._pad_dims(x, ship_f16=wire_bandwidth_mbps() < 192.0)
+        at ~1e-3 relative error — irrelevant to u8/sub-byte-quantized
+        scoring and to rerank orderings, but NOT applied to exact-kind
+        (f16/f32) stores: their contract is exact scores, and link-speed-
+        dependent rounding would make results nondeterministic across
+        sessions. On a fast link (>=192 MB/s probed) queries ship exact
+        f32 everywhere, so CPU tests and idle-link serving are unchanged."""
+        ship_f16 = (
+            self.kind in ("u8", "subbyte")
+            and wire_bandwidth_mbps() < 192.0
+        )
+        return self._pad_dims(x, ship_f16=ship_f16)
 
     def _quantize(self, xj: jax.Array):
         return _quantize_batch(

@@ -35,6 +35,11 @@ def warmup_device() -> float:
     t0 = time.time()
     try:
         np.asarray(jnp.arange(128, dtype=jnp.int32) * 2 + 1)
+        # also pay the one-time wire-bandwidth probe here (16 MB upload)
+        # rather than on the first user search (ship_queries reads it)
+        from cosdata_tpu.ops.storage import wire_bandwidth_mbps
+
+        wire_bandwidth_mbps()
     except Exception:  # no device available — nothing to warm
         pass
     _done = True

@@ -108,3 +108,52 @@ class TestListPayloads:
             t.join()
         for i, ids in results.items():
             assert (ids == i).all()
+
+
+class TestChunkedDispatch:
+    def test_coalesced_batch_respects_max_batch(self):
+        x, run, calls = _engine(n=200, d=16)
+        mb = MicroBatcher(run)
+        mb.WINDOW_S = 0.05
+        mb.MAX_BATCH = 5
+        results = {}
+
+        def worker(i):
+            ids, sc = mb.search(x[i * 2 : i * 2 + 2], 4)
+            results[i] = ids
+
+        ts = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert max(calls) <= 5  # no engine call exceeded the cap
+        for i, ids in results.items():
+            assert ids[0, 0] == i * 2 and ids[1, 0] == i * 2 + 1
+
+    def test_dispatches_serialize_on_shared_lock(self):
+        import time as _time
+
+        active = []
+        peak = []
+        lock = threading.RLock()
+
+        def run(qs, k):
+            active.append(1)
+            peak.append(len(active))
+            _time.sleep(0.01)
+            active.pop()
+            ids = np.zeros((len(qs), k), np.int64)
+            return ids, ids.astype(np.float32)
+
+        a = MicroBatcher(run, dispatch_lock=lock)
+        b = MicroBatcher(run, dispatch_lock=lock)
+        ts = [threading.Thread(
+                target=lambda m: m.search(np.zeros((1, 4), np.float32), 2),
+                args=(m,))
+              for m in (a, b, a, b, a, b)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert max(peak) == 1  # engine never entered concurrently
