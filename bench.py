@@ -85,6 +85,44 @@ def recall_of(true_ids, got, k):
     return hits / (len(true_ids) * k)
 
 
+def start_device_probe():
+    """Start a KILLABLE subprocess probing the configured jax backend.
+
+    The tunneled device can hang indefinitely at backend init (observed:
+    `jax.devices()` blocked >10 min when the tunnel endpoint was down).
+    A hung jax call cannot be interrupted in-process, so the probe runs
+    `jax.devices()` + one tiny computed download in a child process that
+    can be killed on timeout; it overlaps with corpus generation."""
+    import subprocess
+
+    code = (
+        "import jax, numpy as np, jax.numpy as jnp\n"
+        "ds = jax.devices()\n"
+        "np.asarray(jnp.arange(8, dtype=jnp.int32) * 2)\n"
+        "print('PROBE_OK', len(ds), ds[0].platform)\n"
+    )
+    return subprocess.Popen(
+        [sys.executable, "-c", code],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+    ), time.time()
+
+
+def wait_device_probe(handle, timeout_s: float):
+    """Wait for the probe; returns (ok, seconds, detail). Kills on timeout."""
+    import subprocess
+
+    p, t0 = handle
+    try:
+        remaining = max(timeout_s - (time.time() - t0), 1.0)
+        out_s, _ = p.communicate(timeout=remaining)
+        ok = p.returncode == 0 and "PROBE_OK" in (out_s or "")
+        return ok, time.time() - t0, (out_s or "").strip()
+    except subprocess.TimeoutExpired:
+        p.kill()
+        p.communicate()
+        return False, time.time() - t0, "timeout"
+
+
 def host_rss_gb():
     import resource
 
@@ -123,9 +161,34 @@ def main():
             _progress(f"skipping {section}: past {deadline_s:.0f}s deadline")
             raise TimeoutError(f"{section}: past bench deadline, skipped")
 
+    # probe the device in a killable child, overlapped with corpus gen:
+    # if the tunnel is dead the bench falls back to the CPU backend at a
+    # reduced scale instead of hanging forever and emitting nothing
+    probe = None
+    if os.environ.get("BENCH_NO_PROBE", "") != "1":
+        probe = start_device_probe()
+
     t0 = time.time()
     x, q = gen_clustered(n, d, nq)
     out["gen_s"] = round(time.time() - t0, 1)
+
+    if probe is not None:
+        ok, probe_s, detail = wait_device_probe(
+            probe, float(os.environ.get("BENCH_PROBE_TIMEOUT_S", "1200"))
+        )
+        out["device_probe_s"] = round(probe_s, 1)
+        if not ok:
+            _progress(f"device probe failed ({detail}); CPU-backend fallback")
+            import jax as _jx
+
+            _jx.config.update("jax_platforms", "cpu")
+            out["platform_fallback"] = "cpu"
+            out["device_probe"] = detail
+            # 1-core host: keep sections meaningful within the deadline
+            n = min(n, 100_000)
+            hnsw_n = min(hnsw_n, 20_000)
+            x, q = x[:n], q
+            out["n"] = n
 
     # CPU brute-force baseline (numpy matmul + argpartition), single sweep
     t0 = time.time()
@@ -249,6 +312,13 @@ def main():
         out["hnsw_build_vps"] = round(hnsw_n / hnsw_build_s, 1)
         out["hnsw_build_s"] = round(hnsw_build_s, 1)
         out["hnsw_n"] = hnsw_n
+        if getattr(idx, "last_build_stats", None):
+            # ingest is tunnel/wire-bound, graph core is device-bound;
+            # report both plus device-only throughput (BENCH.md caveats)
+            st = idx.last_build_stats
+            out["hnsw_build_split"] = st
+            if st.get("graph_s"):
+                out["hnsw_graph_vps"] = round(hnsw_n / st["graph_s"], 1)
         best = None
         for ef in (128, 256, 512):
             hgot, _ = idx.search(q, top_k=k, ef=ef)  # compile + run

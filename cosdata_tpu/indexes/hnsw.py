@@ -393,6 +393,8 @@ class HNSWIndex:
         #: adjacency-array dirty epochs ("adj0": store rows, "up": slot
         #: rows) so snapshots rewrite only touched chunks (O(delta) IO)
         self.tracker = DirtyTracker()
+        #: set by bulk_build: {"ingest_s", "graph_s"} of the last build
+        self.last_build_stats: dict | None = None
 
     # ------------------------------------------------------------------ util
 
@@ -482,7 +484,9 @@ class HNSWIndex:
         t0 = time.time()
         ids = self.store.add(x)
         self._sync_capacity()
-        _blog(f"store.add {len(ids)} rows: {time.time() - t0:.1f}s")
+        ingest_s = time.time() - t0
+        _blog(f"store.add {len(ids)} rows: {ingest_s:.1f}s")
+        t_graph0 = time.time()
         n = len(ids)
 
         lv = self._sample_levels(n)
@@ -539,6 +543,12 @@ class HNSWIndex:
         self.tracker.bump()
         self.tracker.mark_all("adj0", self.cap)
         self.tracker.mark_all("up", self.cap_up)
+        # decomposition for honest build-throughput reporting: ingest is
+        # wire/tunnel-bound, the graph core is device-bound (BENCH.md)
+        self.last_build_stats = {
+            "ingest_s": round(ingest_s, 1),
+            "graph_s": round(time.time() - t_graph0, 1),
+        }
         return ids
 
     #: members above this count build via RP-tree leaf kNN instead of the
