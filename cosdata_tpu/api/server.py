@@ -213,9 +213,11 @@ class Server:
         return web.json_response(self._coll(request).to_dict())
 
     async def delete_collection(self, request):
-        coll = self._coll(request)
-        await _run(request, self.ctx.delete_collection, coll.name)
-        return web.json_response(coll.to_dict())
+        # do NOT resolve through _coll(): that lazily LOADS an unloaded
+        # collection (WAL replay + device index rebuild) only to delete it
+        name = request.match_info["collection_id"]
+        info = await _run(request, self.ctx.delete_collection, name)
+        return web.json_response(info)
 
     async def indexing_status(self, request):
         return web.json_response(self._coll(request).indexing_status())

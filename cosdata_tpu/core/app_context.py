@@ -175,24 +175,31 @@ class AppContext:
             except Exception:  # pragma: no cover
                 self.collections.pop(victim, None)
 
-    def delete_collection(self, name: str) -> Collection:
+    def delete_collection(self, name: str) -> dict:
         """Drop a collection AND its on-disk state (snapshots, WALs, version
         records) so a recreated same-named collection starts clean — the
-        reference deletes collection data from disk on DELETE."""
+        reference deletes collection data from disk on DELETE. Returns the
+        collection's config record. An UNLOADED collection is deleted
+        without loading it (loading would synchronously replay WALs and
+        rebuild indexes on the device — minutes of work — just to derive a
+        path that is a pure function of the name)."""
         import shutil
 
         with self.lock:
+            cfg = self.meta.get("collections", name)
             coll = self.collections.pop(name, None)
-            if coll is None:
-                if self.meta.get("collections", name) is None:
-                    raise KeyError(f"collection '{name}' not found")
-                coll = self.load_collection(name)
-                self.collections.pop(name, None)
+            if cfg is None and coll is None:
+                raise KeyError(f"collection '{name}' not found")
             self.meta.delete("collections", name)
             self.meta.delete("indexes", name)
             self.meta.clear(f"versions:{name}")
-            shutil.rmtree(coll.data_dir, ignore_errors=True)
-            return coll
+            data_dir = (
+                coll.data_dir
+                if coll is not None
+                else Path(self.data_dir) / "collections" / name
+            )
+            shutil.rmtree(data_dir, ignore_errors=True)
+            return coll.to_dict() if coll is not None else (cfg or {"name": name})
 
     def list_collections(self) -> list[dict]:
         return [c.to_dict() for c in self.collections.values()]

@@ -102,6 +102,11 @@ class DenseIndexHandle:
                 setattr(params, k, v)
         self.params = params
         self.seed = seed
+        #: guards the sample buffer + build/compact transitions: searches
+        #: (engine dispatch lock) and ingest (collection lock) live in
+        #: different lock domains, so configure-on-first-use must be
+        #: internally serialized or two first searches double-build
+        self._lock = threading.RLock()
         self._sample: list[tuple[int, np.ndarray, dict | None]] = []
         # per-row metadata value ids (row-aligned with the HNSW store)
         self.field_rows: dict[str, list[int]] = {}
@@ -178,11 +183,14 @@ class DenseIndexHandle:
     ):
         meta_ids = meta_ids or [None] * len(internal_ids)
         if self.index is None:
-            for iid, v, m in zip(internal_ids, vectors, meta_ids):
-                self._sample.append((iid, v, m))
-            if len(self._sample) >= self.sample_threshold:
-                self.finalize_sampling()
-            return
+            with self._lock:
+                if self.index is None:
+                    for iid, v, m in zip(internal_ids, vectors, meta_ids):
+                        self._sample.append((iid, v, m))
+                    if len(self._sample) >= self.sample_threshold:
+                        self.finalize_sampling()
+                    return
+            # configured concurrently: fall through to the indexed path
         rows = self.index.add(vectors)
         for iid, row, m in zip(internal_ids, rows, meta_ids):
             self.row_of[iid] = int(row)
@@ -197,19 +205,22 @@ class DenseIndexHandle:
                         self.field_rows[field].append(m.get(field, -1))
 
     def finalize_sampling(self):
-        if self.index is not None:
+        if self.index is not None:  # cheap pre-check (common case)
             return
-        if self._sample:
-            allv = np.stack([v for _, v, _ in self._sample])
-            self.range = tune_dense_range(allv)
-        self._build()
-        pending, self._sample = self._sample, []
-        if pending:
-            ids = [i for i, _, _ in pending]
-            vecs = np.stack([v for _, v, _ in pending])
-            metas = [m for _, _, m in pending]
-            # route through add_batch's configured path for map bookkeeping
-            self.add_batch(ids, vecs, metas)
+        with self._lock:
+            if self.index is not None:
+                return  # another thread built while we waited
+            if self._sample:
+                allv = np.stack([v for _, v, _ in self._sample])
+                self.range = tune_dense_range(allv)
+            pending, self._sample = self._sample, []
+            self._build()
+            if pending:
+                ids = [i for i, _, _ in pending]
+                vecs = np.stack([v for _, v, _ in pending])
+                metas = [m for _, _, m in pending]
+                # route through add_batch's configured path for bookkeeping
+                self.add_batch(ids, vecs, metas)
 
     def flush(self):
         self.finalize_sampling()
@@ -631,7 +642,15 @@ class Collection:
         (collection.rs:439-533)."""
         from cosdata_tpu.utils.profiling import profiler
 
-        with self.lock, profiler.timer("index.embeddings"):
+        # engine lock too (coll -> engine order): index mutations must not
+        # interleave with in-flight searches — the handles' host-side state
+        # (row maps, posting buffers, capacity growth) is not lock-free the
+        # way the reference's atomic nodes are. Searches queue behind one
+        # ingest batch; the chunked dispatch (COALESCE/wave sizing) bounds
+        # the wait, and `indexing_status`/is-indexing warnings cover the
+        # bulk-build case exactly like the reference.
+        with self.lock, self._engine_dispatch_lock, \
+                profiler.timer("index.embeddings"):
             dense_batch: list[tuple[int, list[float], dict | None]] = []
             for v in vectors:
                 ext = v["id"]
@@ -675,7 +694,7 @@ class Collection:
                 self.dense.add_batch(ids, arr, metas)
 
     def delete_embedding(self, external_id) -> None:
-        with self.lock:
+        with self.lock, self._engine_dispatch_lock:
             iid = self.etoi.pop(external_id, None)
             if iid is None:
                 return
@@ -694,24 +713,34 @@ class Collection:
                 self.tfidf.delete(iid)
 
     def flush_indexes(self):
-        if self.dense is not None:
-            self.dense.flush()
-        if self.sparse is not None:
-            self.sparse.flush()
-        if self.tfidf is not None:
-            self.tfidf.flush()
+        # both locks (coll -> engine, the canonical order): flush folds
+        # pending CSR postings and may compact/rebuild — state searches
+        # read under the engine dispatch lock and ingest mutates under
+        # the collection lock
+        with self.lock, self._engine_dispatch_lock:
+            if self.dense is not None:
+                self.dense.flush()
+            if self.sparse is not None:
+                self.sparse.flush()
+            if self.tfidf is not None:
+                self.tfidf.flush()
 
     def save_snapshot(self):
         from cosdata_tpu.store.snapshots import save_collection_state
 
-        save_collection_state(self, self.data_dir / "snapshot")
-        if getattr(self.app_config, "enable_context_history", False):
-            # retain the state at this version (version-context history)
-            save_collection_state(
-                self,
-                self.data_dir / f"snapshot-v{self.vcs.current_version}",
-                archive=True,
-            )
+        # exclude concurrent ingest AND searches while chunk epochs are
+        # compared/recorded — a mutation interleaved with the save could
+        # mark a chunk at the very epoch the save just recorded, and the
+        # next save would silently skip it
+        with self.lock, self._engine_dispatch_lock:
+            save_collection_state(self, self.data_dir / "snapshot")
+            if getattr(self.app_config, "enable_context_history", False):
+                # retain the state at this version (version-context history)
+                save_collection_state(
+                    self,
+                    self.data_dir / f"snapshot-v{self.vcs.current_version}",
+                    archive=True,
+                )
 
     # --------------------------------------------------- streaming (implicit)
 
@@ -973,6 +1002,8 @@ class Collection:
         with self.lock:
             cache = self.__dict__.setdefault("_history_views", {})
             if version in cache:
+                # move-to-back: LRU order for the eviction below
+                cache[version] = cache.pop(version)
                 return cache[version]
             snap = self.data_dir / f"snapshot-v{version}"
             if not snap.exists():
@@ -988,6 +1019,12 @@ class Collection:
             clone.restore_indexes_from_meta()
             load_collection_state(clone, snap)
             cache[version] = clone
+            # each view pins a full store copy (HBM + host RAM): keep only
+            # the most recently used few — a history scan must not
+            # accumulate K full copies of the collection
+            limit = int(getattr(self.app_config, "history_view_cache", 2))
+            while len(cache) > max(limit, 1):
+                cache.pop(next(iter(cache)))
             return clone
 
     # -------------------------------------------------------------- vectors

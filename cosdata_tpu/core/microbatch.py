@@ -39,8 +39,15 @@ class MicroBatcher:
     MAX_BATCH = 4096
     #: follower patience: if a leader thread dies without distributing
     #: (hard kill / BaseException during its window), followers fall back
-    #: to running their own query instead of hanging the serving path
-    FOLLOWER_TIMEOUT_S = 30.0
+    #: to running their own query instead of hanging the serving path.
+    #: Must exceed the platform's worst normal dispatch latency — a fresh
+    #: program shape costs 20-130 s through the remote-compile tunnel
+    #: (BENCH.md), and several queued compiles can stack; a short timeout
+    #: would stampede N followers into N duplicate dispatches (each
+    #: possibly compiling yet another shape) exactly when the device is
+    #: slowest. Leader death is the rare case; waiting longer for it is
+    #: the right trade.
+    FOLLOWER_TIMEOUT_S = 600.0
 
     def __init__(self, run, dispatch_lock: threading.Lock | None = None):
         self._run = run

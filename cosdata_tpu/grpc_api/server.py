@@ -165,8 +165,17 @@ class _Services:
 
     def DeleteCollection(self, request, context):
         self._auth(context)
-        self._coll(context, request.collection_id)
-        self.ctx.delete_collection(request.collection_id)
+        # delete_collection raises KeyError for unknown names itself; going
+        # through _coll() would lazily LOAD an unloaded collection (WAL
+        # replay + index rebuild) just to throw it away
+        try:
+            self.ctx.delete_collection(request.collection_id)
+        except KeyError:
+            _abort(
+                context,
+                grpc.StatusCode.NOT_FOUND,
+                f"collection '{request.collection_id}' not found",
+            )
         return empty_pb2.Empty()
 
     # -- indexes --------------------------------------------------------------

@@ -31,6 +31,7 @@ kernels:
 from __future__ import annotations
 
 import math
+import threading
 
 import jax
 import jax.numpy as jnp
@@ -106,6 +107,11 @@ class InvertedIndex:
         self.is_configured = values_upper_bound is not None
         self.values_upper_bound = float(values_upper_bound or 1.0)
         self._sample: list[tuple[int, np.ndarray, np.ndarray]] = []
+        #: guards the pending buffers: ingest appends under the collection
+        #: lock while searches fold under the engine dispatch lock — two
+        #: different lock domains, so the buffers need their own mutex (an
+        #: unsynchronized read-then-clear in the fold would drop postings)
+        self._pend_lock = threading.Lock()
         # pending ingest buffers (vectorized; folded into the CSR at build)
         self._pend_docs: list[np.ndarray] = []
         self._pend_dims: list[np.ndarray] = []
@@ -179,10 +185,11 @@ class InvertedIndex:
             return
         doc_of = np.repeat(internal_ids, nnz).astype(np.int32)
         q = self.quantize(flat_values)
-        self._pend_docs.append(doc_of)
-        self._pend_dims.append(flat_dims)
-        self._pend_buckets.append(q.astype(np.int32))
-        self._csr_dirty = True
+        with self._pend_lock:
+            self._pend_docs.append(doc_of)
+            self._pend_dims.append(flat_dims)
+            self._pend_buckets.append(q.astype(np.int32))
+            self._csr_dirty = True
         hi = int(internal_ids.max()) if len(internal_ids) else -1
         if hi >= self.n:
             self.n = hi + 1
@@ -264,10 +271,11 @@ class InvertedIndex:
         internal_id = int(internal_id)
         nnz = len(dims)
         q = self.quantize(values)
-        self._pend_docs.append(np.full(nnz, internal_id, np.int32))
-        self._pend_dims.append(dims.astype(np.int64))
-        self._pend_buckets.append(q.astype(np.int32))
-        self._csr_dirty = True
+        with self._pend_lock:
+            self._pend_docs.append(np.full(nnz, internal_id, np.int32))
+            self._pend_dims.append(dims.astype(np.int64))
+            self._pend_buckets.append(q.astype(np.int32))
+            self._csr_dirty = True
         if internal_id >= self.n:
             self.n = internal_id + 1
         if internal_id >= self.n_cap:
@@ -350,12 +358,13 @@ class InvertedIndex:
     def _fold_pending(self):
         """Merge pending postings into the sorted host CSR: one stable sort
         of the delta + a two-run merge — no per-dim python loops."""
-        if not self._pend_docs:
-            return
-        docs = np.concatenate(self._pend_docs)
-        dims = np.concatenate(self._pend_dims)
-        buckets = np.concatenate(self._pend_buckets)
-        self._pend_docs, self._pend_dims, self._pend_buckets = [], [], []
+        with self._pend_lock:
+            if not self._pend_docs:
+                return
+            docs = np.concatenate(self._pend_docs)
+            dims = np.concatenate(self._pend_dims)
+            buckets = np.concatenate(self._pend_buckets)
+            self._pend_docs, self._pend_dims, self._pend_buckets = [], [], []
         keys = dims * 256 + (255 - buckets)
         order = np.argsort(keys, kind="stable")
         keys = keys[order]

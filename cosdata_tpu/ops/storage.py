@@ -317,14 +317,19 @@ class VectorStore:
         for s in range(0, b, self.ADD_CHUNK):
             piece = x_np[s : s + self.ADD_CHUNK]
             if ship_u8:
-                # host-side affine quantization, identical math to
-                # quantize_u8 (scalar.rs:18-28 parity): floor of
-                # (clip(x)-lo)/(hi-lo)*255, padded lanes -> code 0.
-                # Native single-pass kernel when built (csrc/host_kernels.cpp,
-                # bit-identical, ~10x on the 1-core host); numpy fallback:
-                # one fused scale+clip in f32, uint8 truncation (== floor on
-                # the clipped non-negative range), then center via XOR 0x80 +
-                # int8 view instead of two widen/narrow passes
+                # host-side affine quantization in the device kernel's
+                # exact operation order (quantize_u8, scalar.rs:18-28
+                # parity): floor of (clip(x,lo,hi)-lo)/(hi-lo)*255, padded
+                # lanes -> code 0. The IEEE op sequence matches XLA:CPU
+                # bit-for-bit; XLA:TPU's f32 divide may still differ by one
+                # code on exact bucket boundaries, which is why the chosen
+                # wire path is PINNED per store (persisted in snapshots) —
+                # one collection never mixes host- and device-produced
+                # codes across sessions. Native single-pass kernel when
+                # built (csrc/host_kernels.cpp, same order, ~10x on the
+                # 1-core host); numpy fallback: clip, scale, uint8
+                # truncation (== floor on the non-negative range), then
+                # center via XOR 0x80 + int8 view
                 lo, hi = self.range
                 from cosdata_tpu.ops import host_native
 
@@ -333,10 +338,12 @@ class VectorStore:
                         piece, lo, hi, self.dim
                     )
                 else:
-                    scaled = (piece - np.float32(lo)) * np.float32(
-                        255.0 / (hi - lo)
-                    )
-                    np.clip(scaled, 0.0, 255.0, out=scaled)
+                    scaled = np.clip(piece, lo, hi)
+                    scaled -= np.float32(lo)
+                    # device traces python-float (hi - lo) in f64 then
+                    # rounds once to f32 — np.float32(hi - lo) matches
+                    scaled /= np.float32(hi - lo)
+                    scaled *= np.float32(255.0)
                     u8 = scaled.astype(np.uint8)
                     if self.dim_pad != self.dim:
                         u8[:, self.dim :] = 0

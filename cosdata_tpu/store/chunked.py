@@ -139,30 +139,46 @@ def save_chunked(
             or old.get("gen") != (tracker.gen if tracker is not None else None)
         ):
             old = None  # layout or structure generation changed: full rewrite
-    saved = {int(k): int(v) for k, v in (old or {}).get("chunks", {}).items()}
-    new_chunks: dict[int, int] = {}
+    # chunks meta value = [epoch, row_extent]: a saved chunk is reusable
+    # only if BOTH its epoch is current and its row extent still matches —
+    # a capacity grow/shrink changes the boundary chunk's extent without
+    # marking any row dirty, and the stale partial file would otherwise be
+    # skipped and crash the next load. Extent lives in the filename too, so
+    # extent changes write a NEW immutable file (crash mid-save keeps the
+    # old meta + old files fully consistent).
+    saved: dict[int, tuple[int, int]] = {}
+    for k, v in (old or {}).get("chunks", {}).items():
+        if isinstance(v, list) and len(v) == 2:
+            saved[int(k)] = (int(v[0]), int(v[1]))
+    new_chunks: dict[int, tuple[int, int]] = {}
     for c in range(n_chunks):
         cur = tracker.epoch_of(name, c) if tracker is not None else 1
+        lo = c * CHUNK_ROWS
+        hi = min(lo + CHUNK_ROWS, rows)
+        extent = hi - lo
         have = saved.get(c)
         # a chunk recorded at epoch e is current if e >= cur; chunks the
         # tracker never saw (epoch 0) still need one initial write
-        if have is not None and have >= cur and (tracker is not None):
+        if (
+            have is not None
+            and have[0] >= cur
+            and have[1] == extent
+            and tracker is not None
+        ):
             new_chunks[c] = have
             continue
-        lo = c * CHUNK_ROWS
-        hi = min(lo + CHUNK_ROWS, rows)
         sl = [slice(None)] * len(shape)
         sl[axis] = slice(lo, hi)
         part = np.asarray(arr[tuple(sl)])
         epoch = max(cur, 1)
-        fp = snap_dir / f"{name}.c{c}.{epoch}.npy"
-        tmp = snap_dir / f"{name}.c{c}.{epoch}.npy.tmp"
+        fp = snap_dir / f"{name}.c{c}.e{epoch}.r{extent}.npy"
+        tmp = snap_dir / f"{name}.c{c}.e{epoch}.r{extent}.npy.tmp"
         with open(tmp, "wb") as f:
             np.save(f, part)
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, fp)
-        new_chunks[c] = epoch
+        new_chunks[c] = (epoch, extent)
     _atomic_json(
         meta_p,
         {
@@ -171,18 +187,23 @@ def save_chunked(
             "chunk_rows": CHUNK_ROWS,
             "axis": axis,
             "gen": tracker.gen if tracker is not None else None,
-            "chunks": {str(k): v for k, v in new_chunks.items()},
+            "chunks": {str(k): list(v) for k, v in new_chunks.items()},
         },
     )
     # GC chunk files the meta no longer references
-    live = {f"{name}.c{c}.{e}.npy" for c, e in new_chunks.items()}
+    live = {f"{name}.c{c}.e{e}.r{r}.npy" for c, (e, r) in new_chunks.items()}
     for f in snap_dir.glob(f"{name}.c*.npy"):
         if f.name not in live:
             f.unlink(missing_ok=True)
 
 
-def load_chunked(snap_dir: Path, name: str) -> np.ndarray | None:
-    """Assemble the array from its chunk files (None if absent)."""
+def load_chunked(snap_dir: Path, name: str, out_factory=None) -> np.ndarray | None:
+    """Assemble the array from its chunk files (None if absent).
+
+    ``out_factory(shape, dtype)``: optional destination allocator — lets a
+    caller stream chunks directly into e.g. a disk-backed memmap instead of
+    materializing the whole array in RAM (the beyond-RAM raw tier).
+    """
     snap_dir = Path(snap_dir)
     meta_p = snap_dir / f"{name}.meta.json"
     if not meta_p.exists():
@@ -191,14 +212,21 @@ def load_chunked(snap_dir: Path, name: str) -> np.ndarray | None:
         meta = json.load(f)
     shape = tuple(meta["shape"])
     axis = meta.get("axis", 0)
-    out = np.zeros(shape, np.dtype(meta["dtype"]))
+    if out_factory is not None:
+        out = out_factory(shape, np.dtype(meta["dtype"]))
+    else:
+        out = np.zeros(shape, np.dtype(meta["dtype"]))
     rows = shape[axis]
     chunk_rows = meta.get("chunk_rows", CHUNK_ROWS)
-    for c_str, epoch in meta["chunks"].items():
+    for c_str, rec in meta["chunks"].items():
         c = int(c_str)
         lo = c * chunk_rows
         hi = min(lo + chunk_rows, rows)
-        part = np.load(snap_dir / f"{name}.c{c}.{epoch}.npy")
+        if isinstance(rec, list):
+            epoch, extent = int(rec[0]), int(rec[1])
+            part = np.load(snap_dir / f"{name}.c{c}.e{epoch}.r{extent}.npy")
+        else:  # pre-extent meta format
+            part = np.load(snap_dir / f"{name}.c{c}.{int(rec)}.npy")
         sl = [slice(None)] * len(shape)
         sl[axis] = slice(lo, hi)
         out[tuple(sl)] = part
@@ -227,8 +255,9 @@ def adopt_tracker(snap_dir: Path, tracker: DirtyTracker, names: list[str]) -> No
         if g is None or (gen is not None and g != gen):
             return
         gen = g
-        for e in meta.get("chunks", {}).values():
-            max_epoch = max(max_epoch, int(e))
+        for rec in meta.get("chunks", {}).values():
+            e = int(rec[0]) if isinstance(rec, list) else int(rec)
+            max_epoch = max(max_epoch, e)
     if gen is not None:
         tracker.gen = gen
         tracker._epoch = max_epoch + 1

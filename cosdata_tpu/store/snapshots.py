@@ -152,8 +152,17 @@ def save_collection_state(coll, snap_dir: str | Path, archive: bool = False) -> 
             "n_deleted": idx.n_deleted,
             "level_counts": [int(x) for x in idx.level_counts],
             "configured_range": list(d.range),
+            # the resolved ingest wire path ("u8"/"f16"/"f32"): pinned so a
+            # collection never mixes host- and device-quantized codes when
+            # later sessions probe a different link speed
+            "ship_dtype": vs.ship_dtype,
         }
         _atomic_write(snap_dir / "dense.msgpack", msgpack.packb(meta))
+        # invariant: every mutation AFTER this save must mark its chunks at
+        # an epoch strictly above anything just recorded, or the next save
+        # would skip it (markers record the tracker's *current* epoch)
+        idx.tracker.bump()
+        vs.tracker.bump()
 
     if coll.sparse is not None:
         s = coll.sparse
@@ -188,6 +197,7 @@ def save_collection_state(coll, snap_dir: str | Path, archive: bool = False) -> 
         raw_t = s.tracker.view("raw")
         save_chunked(snap_dir, "sp_raw_dims", s._raw_dims, raw_t)
         save_chunked(snap_dir, "sp_raw_vals", s._raw_vals, raw_t)
+        s.tracker.bump()  # see the dense-section invariant note
 
     if coll.tfidf is not None:
         t = coll.tfidf
@@ -320,12 +330,29 @@ def load_collection_state(coll, snap_dir: str | Path) -> None:
         raw_np = load_chunked(snap_dir, "raw")
         vs._raw = jnp.asarray(raw_np) if raw_np is not None else None
         del raw_np
-        vs._raw_host = load_chunked(snap_dir, "raw_host")
-        vs.keep_raw = (
-            True if vs._raw is not None
-            else ("host" if vs._raw_host is not None else False)
-        )
+        if d.keep_raw == "disk":
+            # preserve the beyond-RAM tier: stream chunks straight into a
+            # fresh memmap instead of materializing GBs in host RAM
+            def _disk_dest(shape, dtype):
+                return vs._new_memmap(int(shape[0]))
+
+            vs._raw_host = load_chunked(
+                snap_dir, "raw_host", out_factory=_disk_dest
+            )
+            if isinstance(vs._raw_host, np.memmap):
+                vs._raw_host.flush()
+        else:
+            vs._raw_host = load_chunked(snap_dir, "raw_host")
+        if vs._raw is not None:
+            vs.keep_raw = True
+        elif vs._raw_host is not None:
+            vs.keep_raw = "disk" if d.keep_raw == "disk" else "host"
+        else:
+            vs.keep_raw = False
         vs.n = int(meta["n"])
+        if meta.get("ship_dtype"):
+            # honor the path the existing codes were produced by (see save)
+            vs.ship_dtype = meta["ship_dtype"]
         idx.cap = cap
         idx.adj0 = jnp.asarray(adj0)
         idx.adj0_d = jnp.asarray(load_chunked(snap_dir, "adj0_d"))
@@ -341,6 +368,14 @@ def load_collection_state(coll, snap_dir: str | Path) -> None:
         idx.entry_level = int(meta["entry_level"])
         idx.n_deleted = int(meta["n_deleted"])
         idx.level_counts = np.asarray(meta["level_counts"], np.int64)
+        if dense_rows is None and "internal_of" in meta:
+            # pre-dense_rows snapshot layout kept the row maps in
+            # dense.msgpack — honor it so older data dirs still load
+            dense_rows = {
+                "gen": meta.get("gen", 0),
+                "internal_of": meta["internal_of"],
+                "field_rows": meta.get("field_rows", {}),
+            }
         if dense_rows is not None:
             d._gen = int(dense_rows["gen"])
             d.internal_of = [int(x) for x in dense_rows["internal_of"]]

@@ -18,22 +18,25 @@
 
 extern "C" {
 
-// out[r, c] = int8( clip((x[r,c] - lo) * 255/(hi-lo), 0, 255) ^ 0x80 )
-// for c < d_true; padded lanes (c >= d_true) get code 0 ^ 0x80 = -128,
-// exactly like the numpy path (storage.py add(): zero pad lanes, then
-// XOR 128, then view int8). Truncation toward zero matches numpy's
-// astype(np.uint8) on the clipped non-negative range.
+// out[r, c] = int8( floor((clip(x[r,c],lo,hi) - lo) / (hi-lo) * 255) ^ 0x80 )
+// for c < d_true; padded lanes (c >= d_true) get code 0 ^ 0x80 = -128.
+// Operation order matches the DEVICE kernel (ops/quantize.py quantize_u8):
+// clip first, f32 subtract, f32 divide by f32(hi - lo) (the device traces
+// the python-float difference in f64 and rounds once to f32), f32 multiply
+// by 255. Truncation toward zero == floor on the non-negative range,
+// matching numpy's astype(np.uint8) and the device's floor.
 void hk_quantize_u8_centered(const float* x, int64_t rows, int64_t cols,
                              int64_t d_true, float lo, float hi,
                              int8_t* out) {
-  // numpy computes np.float32(255.0 / (hi - lo)) in f64 then casts: match.
-  const float scale = (float)(255.0 / ((double)hi - (double)lo));
+  const float span = (float)((double)hi - (double)lo);
   for (int64_t r = 0; r < rows; ++r) {
     const float* xr = x + r * cols;
     int8_t* orow = out + r * cols;
     int64_t c = 0;
     for (; c < d_true; ++c) {
-      float s = (xr[c] - lo) * scale;
+      float v = xr[c];
+      v = v < lo ? lo : (v > hi ? hi : v);
+      float s = (v - lo) / span * 255.0f;
       s = s < 0.0f ? 0.0f : (s > 255.0f ? 255.0f : s);
       orow[c] = (int8_t)((uint8_t)s ^ 0x80u);
     }

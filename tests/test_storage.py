@@ -251,14 +251,35 @@ class TestHostNative:
         x = rng.uniform(-1.5, 1.5, size=(257, 96)).astype(np.float32)
         x[0, :4] = [-9.0, 9.0, -1.0, 1.0]  # clip + boundary values
         lo, hi, d_true = -1.0, 1.0, 90
-        scaled = (x - np.float32(lo)) * np.float32(255.0 / (hi - lo))
-        np.clip(scaled, 0.0, 255.0, out=scaled)
+        # numpy fallback's (and the device kernel's) operation order:
+        # clip -> subtract -> divide by f32(hi-lo) -> multiply 255 -> floor
+        scaled = np.clip(x, lo, hi)
+        scaled -= np.float32(lo)
+        scaled /= np.float32(hi - lo)
+        scaled *= np.float32(255.0)
         u8 = scaled.astype(np.uint8)
         u8[:, d_true:] = 0
         u8 ^= 128
         ref = u8.view(np.int8)
         got = hn.quantize_u8_centered(x, lo, hi, d_true)
         np.testing.assert_array_equal(got, ref)
+
+    def test_quantize_u8_centered_matches_device_kernel(self):
+        """Host wire codes must equal the device path's codes on XLA:CPU
+        (same IEEE op order; on TPU the wire path is pinned per store so
+        any residual divide-rounding difference can never mix within one
+        collection)."""
+        hn = self._skip_if_missing()
+        import jax.numpy as jnp
+
+        from cosdata_tpu.ops.quantize import quantize_u8
+
+        rng = np.random.default_rng(5)
+        x = rng.uniform(-1.5, 1.5, size=(128, 96)).astype(np.float32)
+        lo, hi, d_true = -1.3, 0.7, 90
+        dev = np.asarray(quantize_u8(jnp.asarray(x), lo, hi, d_true).data)
+        got = hn.quantize_u8_centered(x, lo, hi, d_true)
+        np.testing.assert_array_equal(got, dev)
 
     def test_f32_to_f16_bitexact(self):
         hn = self._skip_if_missing()

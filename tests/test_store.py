@@ -203,6 +203,58 @@ class TestIncrementalSnapshots:
         save_chunked(tmp_path, "a", arr, tr.view("a"))
         assert np.array_equal(load_chunked(tmp_path, "a"), arr)
 
+    def test_capacity_grow_rewrites_boundary_chunk(self, tmp_path):
+        """A silent capacity grow (no rows marked dirty) changes the
+        boundary chunk's extent; the stale partial file must be rewritten
+        or the next load would broadcast-fail (r2 review finding)."""
+        from cosdata_tpu.store.chunked import (
+            CHUNK_ROWS,
+            DirtyTracker,
+            load_chunked,
+            save_chunked,
+        )
+
+        tr = DirtyTracker()
+        n0 = CHUNK_ROWS + 100  # chunk 1 is partial
+        arr = np.arange(n0, dtype=np.int32).reshape(n0, 1)
+        tr.bump()
+        tr.mark_range("a", 0, n0)
+        save_chunked(tmp_path, "a", arr, tr.view("a"))
+        # grow capacity without marking anything dirty (zero padding only)
+        n1 = 2 * CHUNK_ROWS
+        grown = np.zeros((n1, 1), np.int32)
+        grown[:n0] = arr
+        save_chunked(tmp_path, "a", grown, tr.view("a"))
+        out = load_chunked(tmp_path, "a")
+        assert out.shape == (n1, 1)
+        assert np.array_equal(out, grown)
+        # and a shrink (compaction rebuild would normally reset gen, but
+        # guard the raw mechanism too)
+        n2 = CHUNK_ROWS + 10
+        save_chunked(tmp_path, "a", grown[:n2], tr.view("a"))
+        assert np.array_equal(load_chunked(tmp_path, "a"), grown[:n2])
+
+    def test_mutation_after_save_is_persisted(self, tmp_path):
+        """Post-save mutations marked without an intervening bump must not
+        be skipped by the next save: save_collection_state bumps trackers,
+        and this guards the underlying invariant (r2 review finding)."""
+        from cosdata_tpu.store.chunked import (
+            DirtyTracker,
+            load_chunked,
+            save_chunked,
+        )
+
+        tr = DirtyTracker()
+        arr = np.zeros((16, 1), np.int32)
+        tr.bump()
+        tr.mark_range("a", 0, 16)
+        save_chunked(tmp_path, "a", arr, tr.view("a"))
+        tr.bump()  # what save_collection_state now does after saving
+        arr[3] = 7
+        tr.mark_rows("a", np.asarray([3]))  # no bump between save & mark
+        save_chunked(tmp_path, "a", arr, tr.view("a"))
+        assert load_chunked(tmp_path, "a")[3, 0] == 7
+
     def test_generation_change_forces_full(self, tmp_path):
         from cosdata_tpu.store.chunked import (
             DirtyTracker,
