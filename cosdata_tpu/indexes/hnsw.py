@@ -317,8 +317,10 @@ def _top_m(cand_ids, cand_scores, m: int):
 def _merge_neighbors_3d(adj, dists, rows, level, inc_ids, inc_dists, m: int,
                         dedup: bool = True):
     """merge_neighbors over the (cap_up, L, m) upper table at one level.
-    Rows of -1 (padding) are dropped by the scatter."""
+    Rows of -1 (padding) are remapped past the table end so the scatter
+    drops them (jax wraps raw negative indices BEFORE mode="drop")."""
     safe = jnp.maximum(rows, 0)
+    drop_rows = jnp.where(rows >= 0, rows, adj.shape[0])
     cur_ids = adj[safe, level]
     cur_d = dists[safe, level]
     if dedup:
@@ -331,8 +333,8 @@ def _merge_neighbors_3d(adj, dists, rows, level, inc_ids, inc_dists, m: int,
     top_d, pos = jax.lax.top_k(masked, m)
     top_i = jnp.take_along_axis(all_ids, pos, axis=1)
     top_i = jnp.where(top_d > NEG_INF / 2, top_i, -1)
-    adj = adj.at[rows, level].set(top_i, mode="drop")
-    dists = dists.at[rows, level].set(
+    adj = adj.at[drop_rows, level].set(top_i, mode="drop")
+    dists = dists.at[drop_rows, level].set(
         jnp.where(top_i >= 0, top_d, NEG_INF), mode="drop"
     )
     return adj, dists
@@ -1023,8 +1025,6 @@ class HNSWIndex:
             c_ids, c_scores, per_level = self._search_levels(
                 q, wp, p.ef_construction, p.ef_upper, record_from=max_lv
             )
-            lv_padded = np.full(wp, -1, np.int32)
-            lv_padded[:w] = lv
             for l in range(0, max_lv + 1):
                 m_l = (
                     p.level_0_neighbors_count if l == 0 else p.neighbors_count
@@ -1154,8 +1154,10 @@ class HNSWIndex:
             # beyond-HBM mode: the device returns the full shortlist in
             # quantized-space order; the exact rerank runs against the
             # host-resident raw rows (cache_loader.rs's lazy-raw role)
-            keep = min(max(rerank_keep or 5 * top_k, top_k),
-                       int(ef or self.params.ef_search))
+            # clamp ef up to top_k first (search_device does the same), so
+            # the returned arrays always have >= top_k columns
+            ef_eff = max(int(ef or self.params.ef_search), top_k)
+            keep = min(max(rerank_keep or 5 * top_k, top_k), ef_eff)
             out = self.search_device(
                 queries, keep, ef, rerank=False, rerank_keep=keep
             )
@@ -1275,7 +1277,9 @@ class HNSWIndex:
         rerank: bool = True,
     ) -> tuple[np.ndarray, np.ndarray]:
         host_rerank = rerank and self.store.raw_on_host
-        fetch = min(5 * top_k, max(self.n, 1)) if host_rerank else top_k
+        # never fetch fewer than top_k columns: the device scan pads with
+        # -1 past n, keeping the (B, top_k) output contract on tiny indexes
+        fetch = max(min(5 * top_k, max(self.n, 1)), top_k) if host_rerank else top_k
         out = self.search_brute_device(queries, fetch, mask, rerank)
         if out is None:
             b = len(np.atleast_2d(queries))

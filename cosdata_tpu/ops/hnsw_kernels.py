@@ -158,11 +158,14 @@ def merge_neighbors(
 ):
     """Keep-the-m-closest neighbor merge (the batched equivalent of the
     reference's atomic worst-slot replacement, prob_node.rs:210-283).
-    Rows of -1 (padding) are dropped by the scatter. ``dedup=False`` skips
-    the O((m+G)^2) first-occurrence mask — safe when incoming ids are known
-    disjoint from the current rows (bulk reverse edges); a duplicate would
-    only waste a slot, never corrupt results."""
+    Rows of -1 (padding) are remapped past the table end so the scatter
+    drops them — jax normalizes NEGATIVE indices (wrap-around) BEFORE
+    mode="drop" applies, so a raw -1 would overwrite the last row.
+    ``dedup=False`` skips the O((m+G)^2) first-occurrence mask — safe when
+    incoming ids are known disjoint from the current rows (bulk reverse
+    edges); a duplicate would only waste a slot, never corrupt results."""
     safe_rows = jnp.maximum(rows, 0)
+    drop_rows = jnp.where(rows >= 0, rows, adj_table.shape[0])
     cur_ids = adj_table[safe_rows]
     cur_dists = dist_table[safe_rows]
     if dedup:
@@ -177,8 +180,8 @@ def merge_neighbors(
     top_d, pos = jax.lax.top_k(masked, m)
     top_ids = jnp.take_along_axis(all_ids, pos, axis=1)
     top_ids = jnp.where(top_d > NEG_INF / 2, top_ids, -1)
-    adj_table = adj_table.at[rows].set(top_ids, mode="drop")
-    dist_table = dist_table.at[rows].set(
+    adj_table = adj_table.at[drop_rows].set(top_ids, mode="drop")
+    dist_table = dist_table.at[drop_rows].set(
         jnp.where(top_ids >= 0, top_d, NEG_INF), mode="drop"
     )
     return adj_table, dist_table
@@ -192,62 +195,16 @@ def pairwise_scores(
     candidate vectors once and contract them against themselves on the MXU.
     W-chunked so the gather footprint stays ~chunk*C*D bytes. Used by the
     diversity pruning heuristic."""
-    from cosdata_tpu.ops import quantize as Q
-
     w, c = ids.shape
     pad = (-w) % chunk
     ids_p = jnp.pad(ids, ((0, pad), (0, 0)), constant_values=-1)
 
     def one_chunk(ids_c):
+        # the shared decode + block-score helpers (same math as every
+        # other scoring path; one place to fix dequant handling)
         safe = jnp.maximum(ids_c, 0)
-        if kind == "u8":
-            g = store.data[safe]  # (chunk, C, D) int8
-            sums = store.sums[safe].astype(jnp.float32)
-            cc = jnp.einsum(
-                "wcd,wed->wce", g, g, preferred_element_type=jnp.int32
-            ).astype(jnp.float32)
-            code_dot = (
-                cc + 128.0 * (sums[:, :, None] + sums[:, None, :]) + d * 128.0 * 128.0
-            )
-            dot = (
-                store.a * store.a * code_dot
-                + store.a * store.b * (
-                    (sums + 128.0 * d)[:, :, None] + (sums + 128.0 * d)[:, None, :]
-                )
-                + store.b * store.b * store.dtrue
-            )
-            mags = store.mags[safe]
-        elif kind == "subbyte":
-            res = store.planes.shape[0]
-            g = None
-            for p in range(res):
-                words = store.planes[p][safe]
-                ch, cn, wd = words.shape
-                bits = Q.unpack_bits_from_u32(words.reshape(ch * cn, wd), d)
-                contrib = bits.reshape(ch, cn, d).astype(jnp.int8) << (res - 1 - p)
-                g = contrib if g is None else g + contrib
-            sums = store.sums[safe].astype(jnp.float32)
-            code_dot = jnp.einsum(
-                "wcd,wed->wce", g, g, preferred_element_type=jnp.int32
-            ).astype(jnp.float32)
-            dot = (
-                store.a * store.a * code_dot
-                + store.a * store.b * (sums[:, :, None] + sums[:, None, :])
-                + store.b * store.b * store.dtrue
-            )
-            mags = store.mags[safe]
-        else:
-            g = store.data[safe].astype(jnp.float32)
-            dot = jnp.einsum("wcd,wed->wce", g, g)
-            mags = store.mags[safe]
-        if metric == "dot":
-            return dot
-        if metric == "cosine":
-            den = mags[:, :, None] * mags[:, None, :]
-            return jnp.where(den > 1e-30, dot / jnp.maximum(den, 1e-30), 0.0)
-        # euclidean (negated similarity)
-        d2 = mags[:, :, None] ** 2 + mags[:, None, :] ** 2 - 2.0 * dot
-        return -jnp.sqrt(jnp.maximum(d2, 0.0))
+        g, s, mg = _decode_rows(kind, d, store, safe)
+        return _block_scores(metric, kind, d, store, g, s, mg, g, s, mg)
 
     out = jax.lax.map(one_chunk, ids_p.reshape(-1, chunk, c))
     return out.reshape(-1, c, c)[:w]
@@ -351,7 +308,6 @@ def _block_scores(metric, kind, d, store, g1, s1, m1, g2, s2, m2):
     return -jnp.sqrt(jnp.maximum(d2, 0.0))
 
 
-_INT_MAX = np.iinfo(np.int32).max if False else 2**31 - 1
 
 
 @functools.partial(
@@ -527,8 +483,11 @@ def upper_level_exact(
     adj_l = adj_l.at[safe_slots].set(fwd_i, mode="drop")
     dist_l = dist_l.at[safe_slots].set(fwd_d, mode="drop")
     tgt_slots = jnp.where(fwd_i >= 0, up_slot[jnp.maximum(fwd_i, 0)], -1)
+    # reverse-edge source VALUES are node ids (mem) — upper adjacency rows
+    # are slots but its values are node ids (beam_search dereferences them
+    # via up_slot); rows to scatter into come from tgt_slots
     adj_l, dist_l = _reverse_edges_body(
-        adj_l, dist_l, slots, tgt_slots, fwd_d, m, m
+        adj_l, dist_l, mem, tgt_slots, fwd_d, m, m
     )
     return adj_l, dist_l
 
@@ -545,12 +504,13 @@ def upper_level_apply(
     dist_l: jax.Array,  # (cap_up, m)
 ):
     """Large-upper-level tail in one program: slot writes + reverse edges."""
-    del mem
     safe_slots = jnp.where(slots >= 0, slots, adj_l.shape[0])
     adj_l = adj_l.at[safe_slots].set(fwd_ids, mode="drop")
     dist_l = dist_l.at[safe_slots].set(fwd_d, mode="drop")
     tgt_slots = jnp.where(fwd_ids >= 0, up_slot[jnp.maximum(fwd_ids, 0)], -1)
-    return _reverse_edges_body(adj_l, dist_l, slots, tgt_slots, fwd_d, m, m)
+    # source VALUES are node ids (mem), scatter rows are tgt_slots — see
+    # upper_level_exact
+    return _reverse_edges_body(adj_l, dist_l, mem, tgt_slots, fwd_d, m, m)
 
 
 def _gather_pair(sc: jax.Array, pos: jax.Array) -> jax.Array:

@@ -188,6 +188,43 @@ class TestBulkBuild:
         got, _ = idx.search(x2[:4], top_k=1)
         assert (got[:, 0] == ids2[:4]).mean() >= 0.75
 
+    @pytest.mark.fast
+    def test_upper_adjacency_values_are_node_ids(self):
+        """Structural invariant of the bulk-built graph: every upper-level
+        neighbor value is a NODE ID whose own level reaches that level
+        (reverse edges once inserted slot indices here — r2 review)."""
+        from cosdata_tpu.indexes.hnsw import HNSWIndex, HNSWParams
+
+        d, n = 64, 3000
+        x = _unit(n, d, 33)
+        idx = HNSWIndex(dim=d, kind="u8", range_=(-0.3, 0.3),
+                        params=HNSWParams(**SMALL), seed=11,
+                        initial_capacity=n)
+        old = HNSWIndex.BULK_THRESHOLD
+        HNSWIndex.BULK_THRESHOLD = 1000
+        try:
+            idx.add(x)
+        finally:
+            HNSWIndex.BULK_THRESHOLD = old
+        up = np.asarray(idx.up_adj)  # (cap_up, L, m)
+        slot_host = idx.up_slot_host
+        checked = 0
+        for level in range(1, up.shape[1] + 1):
+            members = np.where(idx.levels >= level)[0]
+            if len(members) < 2:
+                continue
+            slots = slot_host[members]
+            vals = up[slots, level - 1].reshape(-1)
+            vals = vals[vals >= 0]
+            assert len(vals), f"level {level} has no edges"
+            # value must be a node id that exists at this level
+            assert (idx.levels[vals] >= level).all(), (
+                f"level {level}: adjacency holds non-member values "
+                f"(slot indices?) {vals[idx.levels[vals] < level][:8]}"
+            )
+            checked += len(vals)
+        assert checked > 0
+
     def test_rp_order_is_a_partition(self):
         """_rp_order (device histogram median splits) must place every
         member exactly once, whatever the imbalance."""
