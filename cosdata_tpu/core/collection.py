@@ -95,7 +95,20 @@ class DenseIndexHandle:
             "device": True, "host": "host", "disk": "disk", "none": False,
         }[raw_storage]
         self.dimension = dimension
-        self.metric = distance_metric
+        # normalize the REST DTO's metric names (indexes/dtos.rs enum) to
+        # the kernel names; reject unknowns at CREATE time, not first search
+        metric_alias = {
+            "cosine": "cosine",
+            "cosinesimilarity": "cosine",
+            "dot": "dot",
+            "dotproduct": "dot",
+            "euclidean": "euclidean",
+            "hamming": "hamming",
+        }
+        key = str(distance_metric).lower().replace("_", "")
+        if key not in metric_alias:
+            raise ValueError(f"unknown distance metric '{distance_metric}'")
+        self.metric = metric_alias[key]
         params = HNSWParams()
         for k, v in (hnsw_params or {}).items():
             if hasattr(params, k) and v is not None:
@@ -149,7 +162,15 @@ class DenseIndexHandle:
                 raise ValueError(f"unknown data_type {dt}")
             rng = quantization.get("range")
             if rng:
-                self.range = (float(rng["min"]), float(rng["max"]))
+                lo, hi = float(rng["min"]), float(rng["max"])
+                if not (hi > lo):
+                    # hi == lo would quantize by (x-lo)/0 -> NaN codes and
+                    # silently meaningless rankings; fail at CREATE time
+                    raise ValueError(
+                        f"quantization range must satisfy max > min "
+                        f"(got min={lo}, max={hi})"
+                    )
+                self.range = (lo, hi)
             self._build()
         else:
             raise ValueError(f"unknown quantization type {qt}")
@@ -293,7 +314,9 @@ class DenseIndexHandle:
         # NOTE: finalize-only — compaction is a flush/background concern and
         # must never run inside a user search request (VERDICT r1 weak #2)
         self.finalize_sampling()
-        if row_mask is None and self.index.n <= self.flat_serve_threshold:
+        if row_mask is None and (
+            self.index.n <= self.flat_serve_threshold or self.index.scan_only
+        ):
             # engine selection: below the crossover the exact chunked MXU
             # scan is both faster than graph traversal AND recall-1.0; the
             # REST contract is results, not an algorithm (search/repo.rs:14)
@@ -304,6 +327,7 @@ class DenseIndexHandle:
                 selectivity <= 0.10
                 or self.index.n <= self.graph_filter_min
                 or self.index.n <= self.flat_serve_threshold
+                or self.index.scan_only
             ):
                 rows, scores = self.index.search_brute(
                     queries, top_k=top_k, mask=row_mask

@@ -76,6 +76,24 @@ class FlatIndex:
         self, queries: np.ndarray, top_k: int = 10, rerank: bool = False,
         rerank_factor: int = 5,
     ) -> tuple[np.ndarray, np.ndarray]:
+        if rerank and self.store.raw_on_host:
+            # raw rows live host-side (RAM/disk tier): fetch the quantized
+            # shortlist from the device, exact-rerank against the host raw
+            # rows — same contract as the device-raw rerank instead of
+            # silently returning quantized-order results
+            queries = np.atleast_2d(np.asarray(queries, np.float32))
+            fetch = max(min(top_k * rerank_factor,
+                            max(self.store.capacity, 1)), top_k)
+            ids, vals = jax.device_get(
+                self.search_device(queries, fetch, rerank=False)
+            )
+            ids = ids.astype(np.int64)
+            re = self.store.rerank_scores_host(queries, ids)
+            re = np.where(ids >= 0, re, -np.inf)
+            order = np.argsort(-re, axis=1, kind="stable")[:, :top_k]
+            ids = np.take_along_axis(ids, order, axis=1)
+            vals = np.take_along_axis(re, order, axis=1).astype(np.float32)
+            return ids, vals
         ids, vals = self.search_device(queries, top_k, rerank, rerank_factor)
         ids, vals = jax.device_get((ids, vals))  # one round trip
         return ids.astype(np.int64), np.asarray(vals)

@@ -357,6 +357,13 @@ class HNSWIndex:
         ship_dtype: str = "f32",
     ):
         self.params = params or HNSWParams()
+        #: hamming has no graph-kernel contraction (XOR popcount does not
+        #: ride the MXU dot-product path the beam/build kernels use), so
+        #: hamming indexes run SCAN-ONLY: ingest stores rows without
+        #: building adjacency, search routes to the exact chunked scan —
+        #: exact results, and faster than graph traversal at every
+        #: HBM-resident scale (BENCH.md "Engine selection").
+        self.scan_only = metric == "hamming"
         self.store = VectorStore(
             dim=dim,
             kind=kind,
@@ -459,6 +466,13 @@ class HNSWIndex:
         otherwise incremental insertion waves.
         """
         x = np.atleast_2d(np.asarray(x, np.float32))
+        if self.scan_only:
+            ids = self.store.add(x)
+            self._sync_capacity()
+            self.level_counts[0] += len(ids)
+            if self.entry < 0 and len(ids):
+                self.entry, self.entry_level = int(ids[0]), 0
+            return np.asarray(ids, np.int64)
         if self.n == 0 and len(x) >= self.BULK_THRESHOLD:
             return self.bulk_build(x)
         out = []
@@ -1002,6 +1016,8 @@ class HNSWIndex:
         edges (back edges merged keep-m-closest). Wave construction builds
         each wave against a graph snapshot; one refinement pass recovers
         most of the recall gap to sequential insertion at ~1x build cost."""
+        if self.scan_only:
+            return  # no graph to refine (hamming scan-only mode)
         p = self.params
         n = self.n
         if n == 0 or self.entry < 0:
@@ -1149,6 +1165,8 @@ class HNSWIndex:
         rerank_keep: int | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Batched ANN search. Returns (ids (B, k), scores (B, k)); id -1 pads."""
+        if self.scan_only:  # hamming: exact chunked scan (see __init__)
+            return self.search_brute(queries, top_k, rerank=rerank)
         host_rerank = rerank and self.store.raw_on_host
         if host_rerank:
             # beyond-HBM mode: the device returns the full shortlist in

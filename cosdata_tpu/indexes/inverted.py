@@ -447,10 +447,14 @@ class InvertedIndex:
     ) -> tuple[np.ndarray, np.ndarray]:
         """Batch search. Returns (ids (B, k), scores (B, k)), -1 padded."""
         b = len(queries)
-        if b == 0 or self.n == 0:
+        if b == 0:
             return np.full((b, top_k), -1, np.int64), np.zeros((b, top_k), np.float32)
+        # finalize BEFORE the emptiness check: docs buffered below the
+        # sample threshold keep self.n == 0 until sampling finalizes
         if not self.is_configured:
             self._finalize_sampling()
+        if self.n == 0:
+            return np.full((b, top_k), -1, np.int64), np.zeros((b, top_k), np.float32)
         self._build_csr()
         if self._csr_ids is None:
             return np.full((b, top_k), -1, np.int64), np.zeros((b, top_k), np.float32)

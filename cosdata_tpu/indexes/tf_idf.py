@@ -125,8 +125,6 @@ class TFIDFIndex:
             p.ids.append(internal_id)
             self._tfs[term].append(tf)
         self._csr_dirty = True
-        self.total_documents += 1
-        self.live_documents += 1
         if internal_id >= self.n:
             self.n = internal_id + 1
         if internal_id >= self.n_cap:
@@ -139,6 +137,22 @@ class TFIDFIndex:
             )
             self.n_cap = new_cap
             self._alive_dev = None
+        # document accounting: don't double-count a re-added id, and
+        # resurrect its alive bit (a deleted-then-readded id was masked
+        # out of results forever while still counted live). NB: the
+        # collection always allocates a FRESH internal id per upsert;
+        # re-adding a previously deleted id through this low-level API
+        # leaves its stale postings until the next compaction.
+        new_doc = not self._has_doc[internal_id]
+        if new_doc:
+            self.total_documents += 1
+            self.live_documents += 1
+        elif not self._alive[internal_id]:
+            self.live_documents += 1
+        if not self._alive[internal_id]:
+            self._alive[internal_id] = True
+            self._alive_dev = None
+            self._df_dirty = True
         self._has_doc[internal_id] = True
 
     def delete(self, internal_id: int) -> None:
@@ -213,9 +227,14 @@ class TFIDFIndex:
 
     def search(self, queries: list[str], top_k: int = 10) -> tuple[np.ndarray, np.ndarray]:
         b = len(queries)
-        if b == 0 or self.live_documents <= 0:
+        if b == 0:
             return np.full((b, top_k), -1, np.int64), np.zeros((b, top_k), np.float32)
+        # flush BEFORE the emptiness check: documents buffered below the
+        # sample threshold have live_documents == 0 until _finalize_sampling
+        # runs — checking first made them unsearchable forever
         self.flush()
+        if self.live_documents <= 0:
+            return np.full((b, top_k), -1, np.int64), np.zeros((b, top_k), np.float32)
         self._build_csr()
         if self._csr_ids is None:
             return np.full((b, top_k), -1, np.int64), np.zeros((b, top_k), np.float32)

@@ -39,7 +39,7 @@ def _slice_store(store, kind: str, start, chunk: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("metric", "kind", "d", "k", "chunk")
+    jax.jit, static_argnames=("metric", "kind", "d", "k", "chunk", "exact")
 )
 def flat_scan_topk(
     metric: str,
@@ -50,8 +50,13 @@ def flat_scan_topk(
     q,  # quantized query pytree (B rows)
     store,  # quantized store pytree (capacity rows, capacity % chunk == 0)
     valid,  # (capacity,) bool — rows in [0, n) and alive
+    exact: bool = False,
 ):
-    """Returns (scores (B, k), ids (B, k)) over the whole store."""
+    """Returns (scores (B, k), ids (B, k)) over the whole store.
+
+    ``exact=True`` selects per-chunk with a full lax.top_k sort instead of
+    the hardware approx_max_k shortlist — required when nothing reranks the
+    shortlist downstream (the exact-oracle contract)."""
     from cosdata_tpu.ops import distance as D
 
     if kind == "u8":
@@ -72,12 +77,15 @@ def flat_scan_topk(
         scores = D.score(metric, kind, q, sl, d)  # (B, chunk)
         v = jax.lax.dynamic_slice_in_dim(valid, start, chunk)
         scores = jnp.where(v[None, :], scores, NEG_INF)
-        # hardware approximate top-k: per-chunk shortlist selection is
-        # recall-uncritical (the shortlist is exact-reranked downstream) and
-        # the full sort of lax.top_k dominates the sweep otherwise
-        c_s, c_i = jax.lax.approx_max_k(
-            scores, min(k, chunk), recall_target=0.99
-        )
+        if exact:
+            c_s, c_i = jax.lax.top_k(scores, min(k, chunk))
+        else:
+            # hardware approximate top-k: per-chunk shortlist selection is
+            # recall-uncritical (the shortlist is exact-reranked downstream)
+            # and the full sort of lax.top_k dominates the sweep otherwise
+            c_s, c_i = jax.lax.approx_max_k(
+                scores, min(k, chunk), recall_target=0.99
+            )
         c_i = c_i + start
         all_s = jnp.concatenate([top_s, c_s], axis=1)
         all_i = jnp.concatenate([top_i, c_i], axis=1)
@@ -123,7 +131,10 @@ def fused_flat_search(
     from cosdata_tpu.ops.storage import _quantize_batch, _rerank
 
     q = _quantize_batch(q_raw, lo, hi, kind, resolution, d_true)
-    vals, ids = flat_scan_topk(metric, kind, d_pad, k_fetch, chunk, q, store, valid)
+    # no rerank downstream -> the scan itself must select exactly
+    vals, ids = flat_scan_topk(
+        metric, kind, d_pad, k_fetch, chunk, q, store, valid, exact=not rerank
+    )
     if rerank:
         re = _rerank(metric, q_raw, raw, ids)
         re = jnp.where(vals > NEG_INF / 2, re, NEG_INF)

@@ -304,6 +304,10 @@ def _block_scores(metric, kind, d, store, g1, s1, m1, g2, s2, m2):
     if metric == "cosine":
         den = m1[..., :, None] * m2[..., None, :]
         return jnp.where(den > 1e-30, dot / jnp.maximum(den, 1e-30), 0.0)
+    if metric != "euclidean":
+        # hamming has no MXU-dot formulation; HNSWIndex runs it scan-only
+        # and never reaches the graph kernels
+        raise ValueError(f"graph kernels do not support metric {metric!r}")
     d2 = m1[..., :, None] ** 2 + m2[..., None, :] ** 2 - 2.0 * dot
     return -jnp.sqrt(jnp.maximum(d2, 0.0))
 

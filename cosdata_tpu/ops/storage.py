@@ -149,8 +149,12 @@ class VectorStore:
                 self.ship_dtype = "f32"  # wire is cheap; skip host passes
             elif self.kind == "u8" and self.keep_raw is not True:
                 self.ship_dtype = "u8"  # 1-byte codes on a slow link
+            elif self.kind == "subbyte":
+                self.ship_dtype = "f16"  # sub-quantization-noise rounding
             else:
-                self.ship_dtype = "f16"
+                # exact kinds (f16/f32) and device-raw stores: stored data
+                # must not depend on probed link speed — always ship f32
+                self.ship_dtype = "f32"
         self.dim_pad = _round_up(self.dim, _LANE)
         self.capacity = max(_round_up(self.initial_capacity, _LANE), _LANE)
         self._arrays = self._empty(self.capacity)
@@ -340,9 +344,11 @@ class VectorStore:
                 else:
                     scaled = np.clip(piece, lo, hi)
                     scaled -= np.float32(lo)
-                    # device traces python-float (hi - lo) in f64 then
-                    # rounds once to f32 — np.float32(hi - lo) matches
-                    scaled /= np.float32(hi - lo)
+                    # quantize_u8 is jitted with lo/hi TRACED, so the
+                    # device subtracts the two f32 scalars — f32(hi) minus
+                    # f32(lo), NOT f32(hi - lo) (1 ulp apart for ranges
+                    # like (-1.3, 0.7)); the native kernel matches too
+                    scaled /= np.float32(hi) - np.float32(lo)
                     scaled *= np.float32(255.0)
                     u8 = scaled.astype(np.uint8)
                     if self.dim_pad != self.dim:
@@ -388,15 +394,7 @@ class VectorStore:
 
     def gather_as_queries(self, ids: jax.Array):
         """Gather stored rows as a query pytree (for wave self-joins)."""
-        ids = jnp.asarray(ids)
-        a = self._arrays
-        if self.kind == "subbyte":
-            return a._replace(
-                planes=a.planes[:, ids], sums=a.sums[ids], mags=a.mags[ids]
-            )
-        if self.kind == "u8":
-            return a._replace(data=a.data[ids], sums=a.sums[ids], mags=a.mags[ids])
-        return a._replace(data=a.data[ids], mags=a.mags[ids])
+        return _gather_queries(self.kind, self._arrays, jnp.asarray(ids))
 
     def scores_all(self, q_quant) -> jax.Array:
         """(Q, capacity) similarity scores (higher-is-better) vs all rows.

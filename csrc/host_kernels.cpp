@@ -20,11 +20,11 @@ extern "C" {
 
 // out[r, c] = int8( floor((clip(x[r,c],lo,hi) - lo) / (hi-lo) * 255) ^ 0x80 )
 // for c < d_true; padded lanes (c >= d_true) get code 0 ^ 0x80 = -128.
-// Operation order matches the DEVICE kernel (ops/quantize.py quantize_u8):
-// clip first, f32 subtract, f32 divide by f32(hi - lo) (the device traces
-// the python-float difference in f64 and rounds once to f32), f32 multiply
-// by 255. Truncation toward zero == floor on the non-negative range,
-// matching numpy's astype(np.uint8) and the device's floor.
+// Operation order matches the DEVICE kernel (ops/quantize.py quantize_u8,
+// jitted with lo/hi traced as f32 scalars): clip first, f32 subtract, f32
+// divide by (f32(hi) - f32(lo)), f32 multiply by 255. Truncation toward
+// zero == floor on the non-negative range, matching numpy's
+// astype(np.uint8) and the device's floor.
 void hk_quantize_u8_centered(const float* x, int64_t rows, int64_t cols,
                              int64_t d_true, float lo, float hi,
                              int8_t* out) {

@@ -48,6 +48,48 @@ class TestFlat:
         assert 5 not in ids[0]
 
 
+class TestHammingScanOnly:
+    """hamming dense indexes run scan-only (no graph kernels support the
+    XOR-popcount contraction); results must be exact and the handle must
+    route hamming to the scan regardless of flat_serve_threshold."""
+
+    @pytest.mark.fast
+    def test_hnsw_hamming_exact(self):
+        d, n, k = 64, 400, 5
+        x = _unit(n, d, 40)
+        idx = HNSWIndex(dim=d, kind="u8", range_=(-0.3, 0.3),
+                        metric="hamming", params=HNSWParams(**SMALL),
+                        initial_capacity=n)
+        assert idx.scan_only
+        ids = idx.add(x)
+        assert len(ids) == n
+        got, _ = idx.search(x[:16], top_k=k, rerank=False)
+        assert (got[:, 0] == np.arange(16)).all()  # self-query rank 1
+        idx.delete(3)
+        got, _ = idx.search(x[3], top_k=3, rerank=False)
+        assert 3 not in got[0]
+
+    @pytest.mark.fast
+    def test_handle_metric_aliases_and_range_validation(self):
+        from cosdata_tpu.core.collection import DenseIndexHandle
+
+        h = DenseIndexHandle(dimension=16, distance_metric="dotproduct")
+        assert h.metric == "dot"
+        h2 = DenseIndexHandle(dimension=16, distance_metric="hamming")
+        assert h2.metric == "hamming"
+        with pytest.raises(ValueError):
+            DenseIndexHandle(dimension=16, distance_metric="chebyshev")
+        with pytest.raises(ValueError):
+            DenseIndexHandle(
+                dimension=16,
+                quantization={
+                    "type": "scalar",
+                    "data_type": "u8",
+                    "range": {"min": 0.5, "max": 0.5},
+                },
+            )
+
+
 class TestHNSW:
     @pytest.mark.parametrize("kind", ["f32", "u8"])
     def test_recall_vs_bruteforce(self, kind):

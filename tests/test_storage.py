@@ -250,12 +250,14 @@ class TestHostNative:
         rng = np.random.default_rng(2)
         x = rng.uniform(-1.5, 1.5, size=(257, 96)).astype(np.float32)
         x[0, :4] = [-9.0, 9.0, -1.0, 1.0]  # clip + boundary values
-        lo, hi, d_true = -1.0, 1.0, 90
+        # awkward range: f32(hi)-f32(lo) differs from f32(hi-lo) by 1 ulp,
+        # which is exactly the discrepancy this test locks down
+        lo, hi, d_true = -1.3, 0.7, 90
         # numpy fallback's (and the device kernel's) operation order:
-        # clip -> subtract -> divide by f32(hi-lo) -> multiply 255 -> floor
+        # clip -> subtract -> divide by f32(hi)-f32(lo) -> *255 -> floor
         scaled = np.clip(x, lo, hi)
         scaled -= np.float32(lo)
-        scaled /= np.float32(hi - lo)
+        scaled /= np.float32(hi) - np.float32(lo)
         scaled *= np.float32(255.0)
         u8 = scaled.astype(np.uint8)
         u8[:, d_true:] = 0
