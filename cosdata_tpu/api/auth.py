@@ -25,10 +25,18 @@ class SessionManager:
         self._lock = threading.Lock()
 
     def create_session(self, username: str, password: str) -> dict:
-        if username != "admin" or password != self.admin_key:
+        # constant-time comparison: != short-circuits on the first
+        # differing byte, leaking key prefixes through response timing
+        if not (
+            hmac.compare_digest(username.encode(), b"admin")
+            and hmac.compare_digest(
+                password.encode(), self.admin_key.encode()
+            )
+        ):
             raise PermissionError("invalid credentials")
         now = int(time.time())
-        payload = f"{username}:{now}".encode()
+        # nonce: two logins in the same second must not share a token
+        payload = f"{username}:{now}:{os.urandom(8).hex()}".encode()
         token = hmac.new(self._secret, payload, hashlib.sha256).hexdigest()
         details = {
             "access_token": token,
@@ -36,6 +44,13 @@ class SessionManager:
             "expires_at": now + SESSION_LIFETIME_SECS,
         }
         with self._lock:
+            # opportunistic sweep so tokens never re-presented don't
+            # accumulate forever (one login per request patterns)
+            if len(self._sessions) >= 1024:
+                self._sessions = {
+                    t: d for t, d in self._sessions.items()
+                    if d["expires_at"] >= now
+                }
             self._sessions[token] = details
         return details
 

@@ -109,9 +109,15 @@ class Server:
             log.exception("internal error")
             return _err(500, f"internal error: {e}")
 
-    def _coll(self, request):
+    async def _coll(self, request):
         cid = request.match_info["collection_id"]
-        coll = self.ctx.get_collection(cid)
+        if cid in self.ctx.collections:
+            coll = self.ctx.get_collection(cid)  # loaded: LRU touch only
+        else:
+            # unloaded: lazy reload = snapshot load + WAL replay + device
+            # index rebuild (documented minutes at scale) — NEVER on the
+            # event loop, or every other request stalls behind it
+            coll = await _run(request, self.ctx.get_collection, cid)
         if coll is None:
             raise KeyError(f"collection '{cid}' not found")
         return coll
@@ -210,7 +216,7 @@ class Server:
         )
 
     async def get_collection(self, request):
-        return web.json_response(self._coll(request).to_dict())
+        return web.json_response((await self._coll(request)).to_dict())
 
     async def delete_collection(self, request):
         # do NOT resolve through _coll(): that lazily LOADS an unloaded
@@ -220,7 +226,7 @@ class Server:
         return web.json_response(info)
 
     async def indexing_status(self, request):
-        return web.json_response(self._coll(request).indexing_status())
+        return web.json_response((await self._coll(request)).indexing_status())
 
     async def load_collection(self, request):
         name = request.match_info["collection_id"]
@@ -235,11 +241,12 @@ class Server:
     # -------------------------------------------------------------- indexes
 
     async def list_indexes(self, request):
-        return web.json_response({"indexes": self._coll(request).list_indexes()})
+        coll = await self._coll(request)
+        return web.json_response({"indexes": coll.list_indexes()})
 
     async def create_dense_index(self, request):
         body = await request.json()
-        coll = self._coll(request)
+        coll = await self._coll(request)
         hnsw_params = body.get("hnsw_params") or {}
         params = {
             "neighbors_count": hnsw_params.get("num_neighbors"),
@@ -262,7 +269,7 @@ class Server:
 
     async def create_sparse_index(self, request):
         body = await request.json()
-        coll = self._coll(request)
+        coll = await self._coll(request)
         desc = await _run(
             request,
             coll.create_sparse_index,
@@ -275,7 +282,7 @@ class Server:
 
     async def create_tf_idf_index(self, request):
         body = await request.json()
-        coll = self._coll(request)
+        coll = await self._coll(request)
         desc = await _run(
             request,
             coll.create_tf_idf_index,
@@ -287,26 +294,27 @@ class Server:
         return web.json_response(desc, status=201)
 
     async def delete_index(self, request):
-        coll = self._coll(request)
+        coll = await self._coll(request)
         coll.delete_index(request.match_info["index_type"])
         self.ctx._persist_index_descriptors(coll)
         return web.json_response({"status": "deleted"})
 
     # --------------------------------------------------------------- search
 
-    def _coll_at_version(self, request, body):
+    async def _coll_at_version(self, request, body):
         """Resolve the collection, honoring an optional historical
         ``version`` (version-context querying; requires
         enable_context_history snapshots)."""
-        coll = self._coll(request)
+        coll = await self._coll(request)
         v = body.get("version")
         if v is not None:
-            coll = coll.checkout_version(int(v))
+            # checkout loads a full snapshot on a cache miss: executor
+            coll = await _run(request, coll.checkout_version, int(v))
         return coll
 
     async def search_dense(self, request):
         body = await request.json()
-        coll = self._coll_at_version(request, body)
+        coll = await self._coll_at_version(request, body)
         if coll.dense is None:
             raise KeyError("dense index not found")
         results = await _run(
@@ -323,7 +331,7 @@ class Server:
 
     async def search_batch_dense(self, request):
         body = await request.json()
-        coll = self._coll(request)
+        coll = await self._coll(request)
         if coll.dense is None:
             raise KeyError("dense index not found")
         top_k = int(body.get("top_k") or 10)
@@ -357,7 +365,7 @@ class Server:
 
     async def search_sparse(self, request):
         body = await request.json()
-        coll = self._coll_at_version(request, body)
+        coll = await self._coll_at_version(request, body)
         if coll.sparse is None:
             raise KeyError("sparse index not found")
         results = await _run(
@@ -374,7 +382,7 @@ class Server:
 
     async def search_batch_sparse(self, request):
         body = await request.json()
-        coll = self._coll(request)
+        coll = await self._coll(request)
         if coll.sparse is None:
             raise KeyError("sparse index not found")
         queries = [[tuple(p) for p in q] for q in body["query_terms_list"]]
@@ -395,7 +403,7 @@ class Server:
 
     async def search_tfidf(self, request):
         body = await request.json()
-        coll = self._coll_at_version(request, body)
+        coll = await self._coll_at_version(request, body)
         if coll.tfidf is None:
             raise KeyError("tf-idf index not found")
         results = await _run(
@@ -411,7 +419,7 @@ class Server:
 
     async def search_batch_tfidf(self, request):
         body = await request.json()
-        coll = self._coll(request)
+        coll = await self._coll(request)
         if coll.tfidf is None:
             raise KeyError("tf-idf index not found")
         results = await _run(
@@ -430,7 +438,7 @@ class Server:
 
     async def search_hybrid(self, request):
         body = await request.json()
-        coll = self._coll(request)
+        coll = await self._coll(request)
         query = {
             k: body[k]
             for k in (
@@ -453,7 +461,7 @@ class Server:
 
     async def search_batch_hybrid(self, request):
         body = await request.json()
-        coll = self._coll(request)
+        coll = await self._coll(request)
         # all hybrid queries run concurrently (the reference regroups legs
         # and joins them, search/repo.rs:343-555; device dispatches overlap)
         tasks = []
@@ -486,7 +494,7 @@ class Server:
     # -------------------------------------------------------------- vectors
 
     async def vectors_by_document(self, request):
-        coll = self._coll(request)
+        coll = await self._coll(request)
         doc = request.query.get("document_id")
         if doc is None:
             raise ValueError("document_id query parameter required")
@@ -495,7 +503,7 @@ class Server:
         )
 
     async def get_vector(self, request):
-        coll = self._coll(request)
+        coll = await self._coll(request)
         vid = _maybe_int(request.match_info["vector_id"])
         rec = coll.get_vector(vid)
         if rec is None:
@@ -512,12 +520,12 @@ class Server:
     # --------------------------------------------------------- transactions
 
     async def create_transaction(self, request):
-        coll = self._coll(request)
+        coll = await self._coll(request)
         txn = coll.create_transaction()
         return web.json_response(txn.to_dict())
 
     async def commit_transaction(self, request):
-        coll = self._coll(request)
+        coll = await self._coll(request)
         txn_id = request.match_info["txn_id"]
         txn = coll.get_transaction(txn_id)
         version = await _run(request, coll.commit_transaction, txn_id)
@@ -525,13 +533,13 @@ class Server:
         return web.json_response({"version": version}, status=200)
 
     async def transaction_status(self, request):
-        coll = self._coll(request)
+        coll = await self._coll(request)
         txn = coll.get_transaction(request.match_info["txn_id"])
         return web.json_response(txn.status.to_dict())
 
     async def txn_vectors(self, request):
         body = await request.json()
-        coll = self._coll(request)
+        coll = await self._coll(request)
         vectors = body if isinstance(body, list) else [body]
         await _run(
             request, coll.txn_upsert, request.match_info["txn_id"], vectors, False
@@ -540,22 +548,24 @@ class Server:
 
     async def txn_upsert(self, request):
         body = await request.json()
-        coll = self._coll(request)
+        coll = await self._coll(request)
         vectors = body.get("vectors") if isinstance(body, dict) else body
+        if not isinstance(vectors, list):
+            raise ValueError("request body must contain a 'vectors' list")
         await _run(
             request, coll.txn_upsert, request.match_info["txn_id"], vectors, True
         )
         return web.json_response({"upserted": len(vectors)})
 
     async def txn_delete_vector(self, request):
-        coll = self._coll(request)
+        coll = await self._coll(request)
         coll.txn_delete(
             request.match_info["txn_id"], _maybe_int(request.match_info["vector_id"])
         )
         return web.json_response({"status": "queued"})
 
     async def abort_transaction(self, request):
-        coll = self._coll(request)
+        coll = await self._coll(request)
         coll.abort_transaction(request.match_info["txn_id"])
         return web.json_response({"status": "aborted"})
 
@@ -563,13 +573,15 @@ class Server:
 
     async def stream_upsert(self, request):
         body = await request.json()
-        coll = self._coll(request)
+        coll = await self._coll(request)
         vectors = body.get("vectors") if isinstance(body, dict) else body
+        if not isinstance(vectors, list):
+            raise ValueError("request body must contain a 'vectors' list")
         await _run(request, coll.stream_upsert, vectors)
         return web.json_response({"upserted": len(vectors)})
 
     async def stream_delete(self, request):
-        coll = self._coll(request)
+        coll = await self._coll(request)
         await _run(
             request, coll.stream_delete, _maybe_int(request.match_info["vector_id"])
         )
@@ -578,11 +590,11 @@ class Server:
     # ------------------------------------------------------------- versions
 
     async def list_versions(self, request):
-        coll = self._coll(request)
+        coll = await self._coll(request)
         return web.json_response({"versions": coll.vcs.list_versions()})
 
     async def current_version(self, request):
-        coll = self._coll(request)
+        coll = await self._coll(request)
         v = coll.vcs.current_version
         return web.json_response(
             {"version": v, **(coll.vcs.version_info(v) or {})}

@@ -498,8 +498,10 @@ class Collection:
                 self.dense = None
             elif index_type == "sparse":
                 self.sparse = None
+                self.sparse_descriptor = None  # else list/restart resurrect it
             elif index_type == "tf-idf":
                 self.tfidf = None
+                self.tfidf_descriptor = None
             else:
                 raise ValueError(f"unknown index type {index_type}")
             self._persist_descriptors()
@@ -649,6 +651,11 @@ class Collection:
                     upserted += len(payload)
                     done += 1
                     status.progress(upserted, deleted, done)
+        # deletes apply AFTER all upserts — reference parity, not an
+        # accident: the reference's IndexingManager fans upserts across the
+        # rayon pool and applies deletes serially afterwards
+        # (indexing_manager.rs:174-176), so a txn that deletes then
+        # re-upserts the same id ends with it deleted in both systems.
         for op, payload in ops:
             if op == OP_DELETE:
                 self.delete_embedding(payload)
@@ -719,6 +726,7 @@ class Collection:
 
     def delete_embedding(self, external_id) -> None:
         with self.lock, self._engine_dispatch_lock:
+            external_id = self._resolve_key(external_id, self.etoi)
             iid = self.etoi.pop(external_id, None)
             if iid is None:
                 return
@@ -1053,15 +1061,34 @@ class Collection:
 
     # -------------------------------------------------------------- vectors
 
+    def _resolve_key(self, key, table: dict):
+        """External/document ids arrive as JSON values (int or str) on
+        upsert but always as STRINGS from URL path segments; probe the
+        as-given form first, then the other numeric spelling, so
+        GET /vectors/123 finds a vector upserted with id 123 (int) and
+        vice versa."""
+        if key in table:
+            return key
+        if isinstance(key, str):
+            try:
+                alt = int(key)
+            except ValueError:
+                return key
+            if alt in table:
+                return alt
+        elif isinstance(key, int) and str(key) in table:
+            return str(key)
+        return key
+
     def get_vector(self, external_id) -> dict | None:
-        iid = self.etoi.get(external_id)
+        iid = self.etoi.get(self._resolve_key(external_id, self.etoi))
         if iid is None:
             return None
         return self._full_record(iid)
 
     def vectors_by_document(self, document_id) -> list[dict]:
         out = []
-        for i in self.dtoi.get(document_id, []):
+        for i in self.dtoi.get(self._resolve_key(document_id, self.dtoi), []):
             rec = self._full_record(i)
             if rec is not None:
                 out.append(rec)

@@ -72,7 +72,12 @@ class VersionControl:
         return int(self.meta.get(self.db, "background") or 0)
 
     def update_background_version(self, version: int) -> None:
-        self.meta.put(self.db, "background", int(version))
+        """Advance the fully-indexed pointer — MONOTONIC: an implicit
+        epoch closing after a later explicit version finished indexing
+        must not regress the pointer (it would pin the 'still indexing'
+        warning on every search until restart)."""
+        cur = self.background_version
+        self.meta.put(self.db, "background", max(int(version), int(cur)))
 
     # -- listing ----------------------------------------------------------
 

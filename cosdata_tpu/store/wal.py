@@ -32,18 +32,19 @@ class WALFile:
         self.ops: list[tuple[int, object]] = []
         self.records_upserted = 0
         self.records_deleted = 0
-
-    @property
-    def total_operations(self) -> int:
-        return len(self.ops)
+        # stored, not len(ops): flush() drops the in-memory payloads but
+        # the counters must stay queryable (txn status after commit)
+        self.total_operations = 0
 
     def append_upsert(self, vectors: list[dict]) -> None:
         self.ops.append((OP_UPSERT, vectors))
         self.records_upserted += len(vectors)
+        self.total_operations += 1
 
     def append_delete(self, vector_id) -> None:
         self.ops.append((OP_DELETE, vector_id))
         self.records_deleted += 1
+        self.total_operations += 1
 
     def flush(self, path: str | Path) -> None:
         path = Path(path)
@@ -64,6 +65,19 @@ class WALFile:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, path)
+        # fsync the DIRECTORY: the rename's dirent must be durable before
+        # the commit is acknowledged, or a crash makes the committed WAL
+        # vanish and restart recovery silently skips the version
+        dfd = os.open(path.parent, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+        # ops now live on disk; index_version reads them back from the
+        # file, so drop the in-memory payloads (a long-running server
+        # otherwise pins every committed transaction's vectors in RAM —
+        # status queries only need the counters, which stay)
+        self.ops = []
 
 
 def read_wal(path: str | Path):

@@ -92,6 +92,62 @@ class TestTransactions:
             txn.txn_id, [{"id": "a", "dense_values": [0.1] * 32}], upsert=True
         )
 
+    @pytest.mark.fast
+    def test_wal_payloads_released_after_commit(self, tmp_path):
+        """Committed WAL payloads live on disk; keeping them in RAM pins
+        every transaction's vectors for process lifetime (r2 review)."""
+        ctx = _ctx(tmp_path)
+        coll = _mk_collection(ctx, "cw")
+        txn = coll.create_transaction()
+        coll.txn_upsert(
+            txn.txn_id,
+            [{"id": f"v{i}", "dense_values": [0.1] * 32} for i in range(50)],
+            upsert=True,
+        )
+        assert txn.wal.total_operations == 1
+        coll.commit_transaction(txn.txn_id)
+        assert txn.wal.ops == []  # payloads dropped at flush
+        # counters stay queryable
+        assert txn.wal.records_upserted == 50
+        assert txn.wal.total_operations == 1
+
+    @pytest.mark.fast
+    def test_numeric_string_id_lookup(self, tmp_path):
+        """Path segments arrive as strings: a vector upserted with the JSON
+        int id 123 must be reachable via GET /vectors/123 (r2 review)."""
+        ctx = _ctx(tmp_path)
+        coll = _mk_collection(ctx, "cn")
+        coll.stream_upsert([
+            {"id": 123, "dense_values": [0.1] * 32, "document_id": 9},
+            {"id": "s1", "dense_values": [0.2] * 32},
+        ])
+        assert coll.get_vector("123") is not None  # str form of int id
+        assert coll.get_vector(123) is not None
+        assert coll.vectors_by_document("9")  # str form of int doc id
+        coll.delete_embedding("123")  # str form must delete the int id
+        assert coll.get_vector(123) is None
+
+    @pytest.mark.fast
+    def test_background_version_is_monotonic(self, tmp_path):
+        ctx = _ctx(tmp_path)
+        coll = _mk_collection(ctx, "cm")
+        coll.vcs.update_background_version(7)
+        coll.vcs.update_background_version(6)  # late epoch close must not regress
+        assert coll.vcs.background_version == 7
+
+    @pytest.mark.fast
+    def test_delete_index_clears_descriptor(self, tmp_path):
+        ctx = _ctx(tmp_path)
+        coll = _mk_collection(ctx, "cd", sparse=True)
+        coll.create_sparse_index()
+        assert any(
+            d["index_type"] == "sparse" for d in coll.list_indexes()
+        )
+        coll.delete_index("sparse")
+        assert not any(
+            d["index_type"] == "sparse" for d in coll.list_indexes()
+        )
+
     def test_dimension_validation(self, tmp_path):
         ctx = _ctx(tmp_path)
         coll = _mk_collection(ctx, "c4", dim=8)
