@@ -62,19 +62,26 @@ class AppContext:
         interval = min(self.config.epoch_length / 4, 60.0)
 
         def tick():
-            for coll in list(self.collections.values()):
-                try:
-                    if (
-                        coll.implicit is not None
-                        and time.time() - coll.implicit.created_at
-                        >= self.config.epoch_length
-                    ):
-                        coll.close_epoch()
-                except Exception:  # pragma: no cover
-                    pass
-            t = threading.Timer(interval, tick)
-            t.daemon = True
-            t.start()
+            try:
+                with self.lock:  # snapshot: writers mutate the dict
+                    colls = list(self.collections.values())
+                for coll in colls:
+                    try:
+                        if (
+                            coll.implicit is not None
+                            and time.time() - coll.implicit.created_at
+                            >= self.config.epoch_length
+                        ):
+                            coll.close_epoch()
+                    except Exception:  # pragma: no cover
+                        pass
+            finally:
+                # re-arm UNCONDITIONALLY: an escaping exception would kill
+                # epoch closing for the process lifetime (implicit WALs
+                # grow unbounded, background version never advances)
+                t = threading.Timer(interval, tick)
+                t.daemon = True
+                t.start()
 
         t = threading.Timer(interval, tick)
         t.daemon = True
@@ -142,11 +149,16 @@ class AppContext:
     def unload_collection(self, name: str) -> None:
         """Snapshot and drop a collection from memory (POST .../unload)."""
         with self.lock:
-            coll = self.collections.pop(name, None)
+            coll = self.collections.get(name)
             if coll is None:
                 if self.meta.get("collections", name) is None:
                     raise KeyError(f"collection '{name}' not found")
                 return
+            # drain queued background indexing first: a version indexed on
+            # an instance popped from the map would write snapshots/WAL
+            # deletions racing the next lazy reload of the same files
+            self.indexing.wait_idle()
+            self.collections.pop(name, None)
             coll.flush_indexes()
             coll.save_snapshot()
 
@@ -167,9 +179,17 @@ class AppContext:
             return coll
 
     def _maybe_evict(self, keep: str) -> None:
-        """Evict the oldest-loaded collection past the residency cap."""
-        while len(self.collections) > self.max_loaded_collections:
-            victim = next(n for n in self.collections if n != keep)
+        """Evict the least-recently-used collection past the residency cap.
+        Collections with unindexed versions are skipped — evicting one
+        would orphan its queued background indexing (which would then race
+        a lazy reload on the same WAL/snapshot files)."""
+        candidates = [
+            n for n, c in self.collections.items()
+            if n != keep
+            and c.vcs.background_version >= c.vcs.current_version
+        ]
+        while len(self.collections) > self.max_loaded_collections and candidates:
+            victim = candidates.pop(0)
             try:
                 self.unload_collection(victim)
             except Exception:  # pragma: no cover
@@ -190,6 +210,10 @@ class AppContext:
             coll = self.collections.pop(name, None)
             if cfg is None and coll is None:
                 raise KeyError(f"collection '{name}' not found")
+            # drain queued background indexing: a worker indexing this
+            # collection after rmtree would recreate the data dir (ghost
+            # snapshot resurrected by a future same-named collection)
+            self.indexing.wait_idle()
             self.meta.delete("collections", name)
             self.meta.delete("indexes", name)
             self.meta.clear(f"versions:{name}")
@@ -202,4 +226,12 @@ class AppContext:
             return coll.to_dict() if coll is not None else (cfg or {"name": name})
 
     def list_collections(self) -> list[dict]:
-        return [c.to_dict() for c in self.collections.values()]
+        with self.lock:  # LRU move-to-back mutates the dict concurrently
+            colls = list(self.collections.values())
+        return [c.to_dict() for c in colls]
+
+    def snapshot_collections(self) -> list:
+        """Point-in-time list of loaded Collection objects (safe iteration
+        for callers on other threads — gRPC pool, epoch timer)."""
+        with self.lock:
+            return list(self.collections.values())

@@ -19,10 +19,13 @@ log = logging.getLogger(__name__)
 class IndexingManager:
     def __init__(self):
         self._q: queue.Queue = queue.Queue()
+        self._stopped = False
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
     def trigger(self, collection, version: int, txn=None) -> None:
+        if self._stopped:
+            raise RuntimeError("indexing manager is stopped")
         self._q.put((collection, version, txn))
 
     def index_version_on_restart(self, collection, version: int) -> None:
@@ -37,6 +40,9 @@ class IndexingManager:
         while True:
             item = self._q.get()
             if item is None:
+                # mark the sentinel done, or a later wait_idle()/join()
+                # blocks forever on the unfinished count
+                self._q.task_done()
                 return
             collection, version, txn = item
             try:
@@ -52,4 +58,9 @@ class IndexingManager:
         self._q.join()
 
     def stop(self):
+        """Drain queued work, then stop the worker. Items committed before
+        stop() must still be indexed (they were acknowledged); new
+        trigger() calls are rejected."""
+        self._stopped = True
+        self._q.join()
         self._q.put(None)

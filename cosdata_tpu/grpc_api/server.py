@@ -130,7 +130,7 @@ class _Services:
     def GetCollections(self, request, context):
         self._auth(context)
         resp = pb.GetCollectionsResponse()
-        for c in self.ctx.collections.values():
+        for c in self.ctx.snapshot_collections():
             resp.collections.add(
                 name=c.name,
                 dense_vector=pb.DenseVectorOptions(
@@ -220,7 +220,12 @@ class _Services:
         coll = self._coll(context, request.collection_id)
         try:
             coll.create_sparse_index(
-                request.quantization or 64, request.sample_threshold or 1000
+                request.quantization
+                if request.HasField("quantization")
+                else 64,
+                request.sample_threshold
+                if request.HasField("sample_threshold")
+                else 1000,
             )
             self.ctx._persist_index_descriptors(coll)
         except ValueError as e:
@@ -232,7 +237,11 @@ class _Services:
         coll = self._coll(context, request.collection_id)
         try:
             coll.create_tf_idf_index(
-                request.k1 or 1.2, request.b or 0.75, request.sample_threshold or 1000
+                request.k1 if request.HasField("k1") else 1.2,
+                request.b if request.HasField("b") else 0.75,
+                request.sample_threshold
+                if request.HasField("sample_threshold")
+                else 1000,
             )
             self.ctx._persist_index_descriptors(coll)
         except ValueError as e:

@@ -94,15 +94,20 @@ def sharded_search(mesh: Mesh, vectors, mags, queries, q_mags, n_valid, k: int,
         all_gids = jax.lax.all_gather(gids, "dp", axis=1, tiled=True)
         top_vals, pos = jax.lax.top_k(all_vals, k)
         top_gids = jnp.take_along_axis(all_gids, pos, axis=1)
+        # unfilled slots (n < k / empty index) must be -1, not fabricated
+        # row ids that callers would dereference
+        top_gids = jnp.where(top_vals > -1.0e38, top_gids, -1)
         return top_vals, top_gids
 
     return step(vectors, mags, queries, q_mags, n_valid)
 
 
-@functools.partial(jax.jit, static_argnames=("mesh",))
+@functools.partial(jax.jit, static_argnames=("mesh",), donate_argnums=(1, 2))
 def sharded_insert(mesh: Mesh, vectors, mags, new_rows, new_mags, offset):
     """Write a replicated wave of rows into the dp-sharded store at
-    ``offset`` (each shard writes only the slice it owns)."""
+    ``offset`` (each shard writes only the slice it owns). vectors/mags
+    are donated: the caller rebinds them, and copying the full sharded
+    store per wave would make insert O(capacity) in HBM traffic."""
 
     @functools.partial(
         shard_map,
@@ -119,9 +124,14 @@ def sharded_insert(mesh: Mesh, vectors, mags, new_rows, new_mags, offset):
         wn = w.shape[0]
         local_ids = off - base + jnp.arange(wn)
         ok = (local_ids >= 0) & (local_ids < nloc)
-        safe = jnp.clip(local_ids, 0, nloc - 1)
-        v = v.at[safe].set(jnp.where(ok[:, None], w, v[safe]))
-        m = m.at[safe].set(jnp.where(ok, wm, m[safe]))
+        # out-of-shard rows are remapped PAST the end and dropped — the
+        # old clip+where wrote stale values at the clamped index, and a
+        # duplicate-index scatter (stale vs real write to the same slot)
+        # has undefined order: boundary-spanning waves could silently
+        # zero freshly inserted rows
+        rows = jnp.where(ok, local_ids, nloc)
+        v = v.at[rows].set(w, mode="drop")
+        m = m.at[rows].set(wm, mode="drop")
         return v, m
 
     return step(vectors, mags, new_rows, new_mags, offset)

@@ -60,14 +60,24 @@ class ShardedHNSWIndex:
         self._global_of: list[list[int]] = [[] for _ in devices]
         self._loc_of: dict[int, tuple[int, int]] = {}
         self.n = 0
+        #: rotation cursor so SMALL batches spread across shards over
+        #: successive add() calls — np.array_split alone sends every
+        #: batch smaller than n_shards entirely to shard 0
+        self._rr = 0
 
     def add(self, x: np.ndarray) -> np.ndarray:
         """Round-robin block insert; returns global ids."""
         x = np.atleast_2d(np.asarray(x, np.float32))
         n_sh = len(self.shards)
         gids = np.arange(self.n, self.n + len(x), dtype=np.int64)
-        # balanced contiguous blocks per shard for this batch
-        splits = np.array_split(np.arange(len(x)), n_sh)
+        # balanced contiguous blocks per shard for this batch, rotated by
+        # a persistent cursor so streaming single-vector adds still
+        # balance across devices
+        blocks = np.array_split(np.arange(len(x)), n_sh)
+        splits = [
+            blocks[(s - self._rr) % n_sh] for s in range(n_sh)
+        ]
+        self._rr = (self._rr + 1) % n_sh
         for s, part in enumerate(splits):
             if len(part) == 0:
                 continue

@@ -63,6 +63,11 @@ def _native_process_text(text, max_token_len, avg_doc_len, k1, b):
         data = text.encode("ascii")
     except UnicodeEncodeError:
         return None
+    if b"\x00" in data:
+        # c_char_p is NUL-terminated: the C side would silently truncate
+        # at an embedded NUL while the Python regex path skips it —
+        # route such documents to Python to keep the paths identical
+        return None
     import ctypes
 
     buf = _native_buffers()
@@ -72,6 +77,10 @@ def _native_process_text(text, max_token_len, avg_doc_len, k1, b):
         ctypes.byref(doc_len),
     )
     if n < 0:
+        return None
+    if n >= cap:
+        # output buffer full: terms past the cap were dropped — fall back
+        # to the Python path rather than silently losing postings
         return None
     return [(hashes[i], tfs[i]) for i in range(n)]
 

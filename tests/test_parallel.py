@@ -44,8 +44,19 @@ class TestShardedFlat:
         idx.add(x[:100])
         idx.add(x[100:250])
         idx.add(x[250:])
-        ids, _ = idx.search(x[:8], top_k=1)
-        np.testing.assert_array_equal(ids[:, 0], np.arange(8))
+        # EVERY row must be retrievable as its own nearest neighbor —
+        # boundary-spanning waves once zeroed rows at shard edges via
+        # duplicate-index scatter (clip+where, r2 review); asserting only
+        # the first few rows missed it
+        ids, _ = idx.search(x, top_k=1)
+        np.testing.assert_array_equal(ids[:, 0], np.arange(300))
+
+    def test_underfilled_topk_pads_minus_one(self, mesh):
+        idx = ShardedFlatIndex(mesh, dim=64, capacity=64)
+        idx.add(_unit(5, 64, 9))
+        ids, _ = idx.search(_unit(2, 64, 9), top_k=10)
+        assert (ids[:, 5:] == -1).all(), "unfilled slots must be -1"
+        assert set(ids[0, :5].tolist()) == set(range(5))
 
     def test_capacity_guard(self, mesh):
         idx = ShardedFlatIndex(mesh, dim=64, capacity=16)
