@@ -271,12 +271,14 @@ export class Client {
     });
   }
 
-  searchSparse(collection, queryTerms, { topK = 10, earlyTerminateThreshold = 0.0 } = {}) {
-    return this._post(`/vectordb/collections/${collection}/search/sparse`, {
-      query_terms: queryTerms,
-      top_k: topK,
-      early_terminate_threshold: earlyTerminateThreshold,
-    });
+  searchSparse(collection, queryTerms, { topK = 10, earlyTerminateThreshold } = {}) {
+    // omit the threshold when unset: sending 0.0 would OVERRIDE the
+    // index-configured value and force the serializing per-request path
+    const body = { query_terms: queryTerms, top_k: topK };
+    if (earlyTerminateThreshold !== undefined) {
+      body.early_terminate_threshold = earlyTerminateThreshold;
+    }
+    return this._post(`/vectordb/collections/${collection}/search/sparse`, body);
   }
 
   batchSearchSparse(collection, queries, { topK = 10 } = {}) {

@@ -272,11 +272,19 @@ class Client:
     # -- vectors / versions -----------------------------------------------------
 
     def get_vector(self, collection: str, vector_id):
-        return self._get(f"/vectordb/collections/{collection}/vectors/{vector_id}")
+        from urllib.parse import quote
+
+        return self._get(
+            f"/vectordb/collections/{collection}/vectors/"
+            f"{quote(str(vector_id), safe='')}"
+        )
 
     def vectors_by_document(self, collection: str, document_id):
+        from urllib.parse import quote
+
         return self._get(
-            f"/vectordb/collections/{collection}/vectors?document_id={document_id}"
+            f"/vectordb/collections/{collection}/vectors"
+            f"?document_id={quote(str(document_id), safe='')}"
         )["vectors"]
 
     def list_versions(self, collection: str):

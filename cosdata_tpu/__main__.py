@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import argparse
 import logging
+from pathlib import Path
 
 
 def main():
@@ -27,7 +28,12 @@ def main():
     overrides = {}
     if args.data_path:
         overrides["data_path"] = args.data_path
-    config = load_config(args.config, **overrides)
+    # the default "config.toml" is optional (pure defaults when absent);
+    # an EXPLICIT --config that doesn't exist fails fast in load_config
+    cfg_path = args.config
+    if cfg_path == "config.toml" and not Path(cfg_path).exists():
+        cfg_path = None
+    config = load_config(cfg_path, **overrides)
     import os
 
     if os.environ.get("COSDATA_HOST"):
@@ -38,6 +44,13 @@ def main():
     from cosdata_tpu.api.server import run_server
 
     ctx = AppContext(config, admin_key=args.admin_key)
+
+    # absorb the per-process first-sync stall BEFORE any server accepts
+    # requests (an early gRPC search would otherwise pay the 200-900s
+    # cost; run_server warms again, which is a no-op)
+    from cosdata_tpu.utils.device import warmup_device
+
+    warmup_device()
 
     # spawn the gRPC server next to HTTP (main.rs:40-47 + grpc/server.rs:24-44)
     if not args.no_grpc:

@@ -27,10 +27,14 @@ _BOOL = {"type": "boolean"}
 _VECTOR_ID = {"oneOf": [{"type": "string"}, {"type": "integer"}]}
 #: sparse pair [dimension, value] (indexes/inverted/types.rs SparsePair)
 _SPARSE_PAIR = {
+    # OpenAPI 3.0 has no prefixItems (that's 3.1): a fixed [dim, value]
+    # pair is expressed as a 2-item array whose items are number-typed
+    # (ints are valid JSON-Schema numbers)
     "type": "array",
-    "prefixItems": [_INT, _F32],
+    "items": {"type": "number"},
     "minItems": 2,
     "maxItems": 2,
+    "description": "[dimension (int), value (float)] pair",
 }
 
 #: metadata filter (metadata/query_filtering.rs:7-110: Is / And / Or over
@@ -390,6 +394,7 @@ def _schemas() -> dict:
             "required": ["vectors"],
             "properties": {"vectors": _arr(_ref("VectorDto"))},
         },
+        "VectorListDto": _arr(_ref("VectorDto")),
         "TransactionStatusResponse": {
             "type": "object",
             "properties": {
@@ -471,14 +476,16 @@ _ROUTE_SCHEMAS: list[tuple[str, str, str | None, str | None]] = [
     ("get", "/vectordb/collections/{collection_id}/vectors", None, None),
     ("post", "/vectordb/collections/{collection_id}/transactions", None,
      "CreateTransactionResponse"),
+    # /vectors takes a BARE vector array (or single object), not the
+    # UpsertDto envelope (server.txn_vectors wraps non-list bodies)
     ("post",
-     "/vectordb/collections/{collection_id}/transactions/{transaction_id}/vectors",
-     "UpsertDto", None),
+     "/vectordb/collections/{collection_id}/transactions/{txn_id}/vectors",
+     "VectorListDto", None),
     ("post",
-     "/vectordb/collections/{collection_id}/transactions/{transaction_id}/upsert",
+     "/vectordb/collections/{collection_id}/transactions/{txn_id}/upsert",
      "UpsertDto", None),
     ("get",
-     "/vectordb/collections/{collection_id}/transactions/{transaction_id}/status",
+     "/vectordb/collections/{collection_id}/transactions/{txn_id}/status",
      None, "TransactionStatusResponse"),
     ("post", "/vectordb/collections/{collection_id}/streaming/upsert",
      "UpsertDto", None),

@@ -249,7 +249,11 @@ class Server:
         coll = await self._coll(request)
         hnsw_params = body.get("hnsw_params") or {}
         params = {
-            "neighbors_count": hnsw_params.get("num_neighbors"),
+            # the reference DTO field is 'neighbors_count' (dtos.rs:166);
+            # 'num_neighbors' kept as a lenient alias
+            "neighbors_count": hnsw_params.get(
+                "neighbors_count", hnsw_params.get("num_neighbors")
+            ),
             "level_0_neighbors_count": hnsw_params.get("level_0_neighbors_count"),
             "ef_construction": hnsw_params.get("ef_construction"),
             "ef_search": hnsw_params.get("ef_search"),

@@ -97,8 +97,13 @@ def _merge(dc, d: dict):
 
 
 def load_config(path: str | Path | None = None, **overrides) -> Config:
+    """Load TOML config; ``path=None`` = pure defaults. An explicitly
+    named file that doesn't exist is an ERROR — silently falling back to
+    defaults would start the server against the wrong data directory."""
     cfg = Config()
-    if path is not None and Path(path).exists():
+    if path is not None:
+        if not Path(path).exists():
+            raise FileNotFoundError(f"config file not found: {path}")
         with open(path, "rb") as f:
             _merge(cfg, tomllib.load(f))
     _merge(cfg, overrides)

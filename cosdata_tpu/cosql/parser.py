@@ -45,7 +45,7 @@ _TOKEN_RE = re.compile(
     (?P<ws>\s+)
   | (?P<comment>\#[^\n]*)
   | (?P<string>"(?:[^"\\]|\\.)*")
-  | (?P<date>\d{2}-\d{2}-\d{4})
+  | (?P<date>\d{1,2}-\d{1,2}-\d{1,5})
   | (?P<double>\d+\.\d+)
   | (?P<int>\d+)
   | (?P<var>\$[A-Za-z_][A-Za-z0-9_]*)
@@ -235,6 +235,15 @@ def _rule(t: _Tokens) -> dict:
 
 def _value(t: _Tokens) -> dict:
     k, v, pos = t.next()
+    if k == "op" and v == "-":
+        # negative literals: parse_value accepts opt('-') before int and
+        # double (value.rs:45-50)
+        k2, v2, pos2 = t.next()
+        if k2 == "double":
+            return {"kind": "double", "value": -float(v2)}
+        if k2 == "int":
+            return {"kind": "int", "value": -int(v2)}
+        raise ParseError(f"expected a number after '-', found {v2!r}", pos2, t.text)
     if k == "string":
         return {"kind": "string", "value": v[1:-1].replace('\\"', '"')}
     if k == "date":

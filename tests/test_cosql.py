@@ -148,3 +148,25 @@ class TestErrorsAndMulti:
     def test_trailing_garbage(self):
         with pytest.raises(ParseError):
             parse_statement("define entity c as name: string; zzz")
+
+
+class TestReferenceGrammarEdges:
+    """Edges from the reference grammar (value.rs) the port initially
+    missed: negative literals and 1-2 digit date fields."""
+
+    def test_negative_literals(self):
+        stmt = parse_statement(
+            "match $p isa person ( age: $a ), $a > -1 get $p;"
+        )
+        cond = [p for p in stmt["patterns"] if p["kind"] == "condition"][0]
+        assert cond["right"] == {"kind": "int", "value": -1}
+        stmt = parse_statement(
+            "match $p isa person ( score: $s ), $s < -2.5 get $p;"
+        )
+        cond = [p for p in stmt["patterns"] if p["kind"] == "condition"][0]
+        assert cond["right"] == {"kind": "double", "value": -2.5}
+
+    def test_short_date_fields(self):
+        stmt = parse_statement("insert $e isa person ( dob: 1-1-2024 );")
+        attr = stmt["attributes"][0]
+        assert attr["value"] == {"kind": "date", "value": [1, 1, 2024]}
