@@ -156,6 +156,40 @@ class TestTransactions:
             coll.txn_upsert(txn.txn_id, [{"id": "x", "dense_values": [0.1] * 9}], False)
 
 
+class TestDiskTierRestart:
+    @pytest.mark.fast
+    def test_disk_raw_tier_survives_restart(self, tmp_path):
+        """raw_storage='disk' must come back as a disk-backed memmap after
+        a snapshot round-trip — materializing it in host RAM defeats the
+        beyond-RAM tier (r2 review)."""
+        ctx = _ctx(tmp_path)
+        coll = _mk_collection(ctx, "cdk")
+        coll.create_dense_index(
+            quantization={"type": "auto", "sample_threshold": 10},
+            hnsw_params={"wave_size": 64, "num_layers": 3},
+            raw_storage="disk",
+        )
+        ctx._persist_index_descriptors(coll)
+        x = _unit(60, 32, 8)
+        coll.stream_upsert(
+            [{"id": f"v{i}", "dense_values": x[i].tolist()} for i in range(60)]
+        )
+        coll.flush_indexes()
+        coll.save_snapshot()
+        ctx.indexing.wait_idle()
+        # restart
+        ctx2 = AppContext(
+            load_config(data_path=str(tmp_path / "data")), admin_key="test-admin"
+        )
+        c2 = ctx2.get_collection("cdk")
+        vs = c2.dense.index.store
+        assert vs.keep_raw == "disk", vs.keep_raw
+        assert isinstance(vs._raw_host, np.memmap), type(vs._raw_host)
+        res = c2.search_dense([x[7].tolist()], top_k=3)
+        assert res[0][0]["id"] == "v7"
+        assert res[0][0]["score"] > 0.98  # exact host rerank worked
+
+
 class TestRestartReplay:
     def test_wal_replay_after_crash(self, tmp_path):
         ctx = _ctx(tmp_path)
