@@ -99,9 +99,38 @@ class AppContext:
             coll = Collection(self.meta, self.data_dir, cfg)
             coll.app_config = self.config
             self._restore_indexes(coll, cfg)
-            for version in coll.vcs.unindexed_versions():
-                self.indexing.index_version_on_restart(coll, version)
+            self._replay_wals(coll)
             self.collections[coll.name] = coll
+
+    def _replay_wals(self, coll: Collection) -> None:
+        """Crash recovery: replay every WAL that still exists on disk.
+
+        The version-range form ((background, current]) alone is WRONG for
+        implicit epochs: an explicit commit mid-epoch advances the
+        background pointer PAST the still-open implicit version, whose
+        durable WAL would then never be replayed — acknowledged streaming
+        writes lost. WAL files are deleted only after successful indexing
+        or epoch close, so "any .wal still present" is exactly the
+        unreplayed set; replay is idempotent (upserts re-resolve ids,
+        deletes are tombstones). Each replay is fault-isolated: one
+        poisoned WAL (e.g. a malformed committed payload) must not
+        crash-loop server startup."""
+        versions = set(coll.vcs.unindexed_versions())
+        for p in coll.data_dir.glob("*.wal"):
+            stem = p.stem
+            if stem.isdigit():
+                versions.add(int(stem))
+        for version in sorted(versions):
+            try:
+                self.indexing.index_version_on_restart(coll, version)
+            except Exception:  # pragma: no cover - logged, not fatal
+                import logging
+
+                logging.getLogger(__name__).exception(
+                    "WAL replay failed for %s version %s — continuing "
+                    "startup; the WAL is kept for manual inspection",
+                    coll.name, version,
+                )
 
     def _restore_indexes(self, coll: Collection, cfg: dict):
         coll.restore_indexes_from_meta()
@@ -172,8 +201,7 @@ class AppContext:
             coll = Collection(self.meta, self.data_dir, cfg)
             coll.app_config = self.config
             self._restore_indexes(coll, cfg)
-            for version in coll.vcs.unindexed_versions():
-                self.indexing.index_version_on_restart(coll, version)
+            self._replay_wals(coll)
             self.collections[name] = coll
             self._maybe_evict(keep=name)
             return coll

@@ -282,6 +282,10 @@ class DenseIndexHandle:
             seed=self.seed,
             initial_capacity=len(internals),
             keep_raw=self.keep_raw,
+            # preserve the probed/pinned wire path — omitting this reset
+            # it to the f32 default, permanently regressing slow-link
+            # ingest after the first compaction
+            ship_dtype=idx.store.ship_dtype,
         )
         self.index.add(raw)
         self.row_of = {iid: i for i, iid in enumerate(internals)}
@@ -489,7 +493,14 @@ class Collection:
 
     def _persist_descriptors(self):
         """Persist index configs (IndexOps::persist parity — the reference
-        writes index configs to LMDB at creation, indexes/mod.rs:159-174)."""
+        writes index configs to LMDB at creation, indexes/mod.rs:159-174).
+
+        No-op while restoring from those very descriptors: a restore/
+        checkout must never WRITE the meta key it is reading — mid-restore
+        partial writes could drop descriptors on crash, and a read-only
+        version checkout could resurrect a concurrently deleted index."""
+        if getattr(self, "_restoring", False):
+            return
         self.meta.put("indexes", self.name, self.list_indexes())
 
     def delete_index(self, index_type: str):
@@ -533,8 +544,25 @@ class Collection:
                     f"dense vector dimension mismatch: expected "
                     f"{self.dense_vector['dimension']}, got {len(dense)}"
                 )
-        if v.get("sparse_values") is not None and not self.sparse_vector.get("enabled"):
-            raise ValueError("sparse values not supported by this collection")
+            if not all(isinstance(x, (int, float)) for x in dense):
+                raise ValueError("dense_values must be numbers")
+        sp = v.get("sparse_values")
+        if sp is not None:
+            if not self.sparse_vector.get("enabled"):
+                raise ValueError("sparse values not supported by this collection")
+            # shape errors must fail HERE (the validation the client sees),
+            # not later in background indexing — a malformed committed
+            # payload would poison WAL replay on every restart
+            for pair in sp:
+                if (
+                    not isinstance(pair, (list, tuple))
+                    or len(pair) != 2
+                    or not isinstance(pair[0], (int, float))
+                    or not isinstance(pair[1], (int, float))
+                ):
+                    raise ValueError(
+                        "sparse_values must be [dimension, value] pairs"
+                    )
         if v.get("metadata"):
             if self.schema is None:
                 raise ValueError("collection has no metadata schema")
@@ -606,7 +634,10 @@ class Collection:
             txn.aborted = True
             self.current_explicit = None
             # keep the record: GET /{txn}/status stays queryable after abort
-            # (the reference keeps transaction status as a resource)
+            # (the reference keeps transaction status as a resource) — but
+            # drop the buffered op payloads: an aborted 1M-vector upload
+            # must not stay pinned in RAM for the process lifetime
+            txn.wal.ops = []
 
     # ------------------------------------------------------- indexing
 
@@ -619,6 +650,28 @@ class Collection:
         status.start(header.get("total_ops", len(ops)))
         upserted = deleted = 0
         done = 0
+        if header.get("durable"):
+            # implicit (streaming) WAL crash replay: ops were applied
+            # INLINE in strict order before the crash and acknowledged to
+            # the client — recovery must reproduce exactly that state, so
+            # no delete-after-upsert reordering here (that reorder is
+            # explicit-txn reference parity; a streamed upsert-after-delete
+            # of the same id must survive)
+            for op, payload in ops:
+                if op == OP_UPSERT:
+                    self.index_embeddings(payload)
+                    upserted += len(payload)
+                else:
+                    self.delete_embedding(payload)
+                    deleted += 1
+                done += 1
+                status.progress(upserted, deleted, done)
+            self.flush_indexes()
+            self.save_snapshot()
+            status.complete(version)
+            self.vcs.update_background_version(version)
+            wal_path.unlink(missing_ok=True)
+            return
         up_payloads = [p for op, p in ops if op == OP_UPSERT]
         total_up = sum(len(p) for p in up_payloads)
         dense_empty = (
@@ -849,23 +902,25 @@ class Collection:
 
     def _search_dense(self, query_vectors, top_k=10, return_raw_text=False,
                       filter_dto=None):
-        row_mask = None
-        if filter_dto is not None:
-            if self.schema is None:
-                raise ValueError("collection has no metadata schema to filter on")
-            from cosdata_tpu.metadata.filtering import compile_filter
-
-            mask_fn = compile_filter(self.schema, filter_dto)
-            self.dense.finalize_sampling()
-            row_mask = self.dense.row_mask_for(mask_fn)
-        if row_mask is None:
+        if filter_dto is None:
             # unfiltered requests coalesce into one device dispatch
             # (core/microbatch.py — the SURVEY §7 batching queue)
             ids, scores = self._batcher(
                 "_dense_batcher", lambda q, k: self.dense.search(q, k)
             ).search(np.asarray(query_vectors, np.float32), top_k)
         else:
+            if self.schema is None:
+                raise ValueError("collection has no metadata schema to filter on")
+            from cosdata_tpu.metadata.filtering import compile_filter
+
+            mask_fn = compile_filter(self.schema, filter_dto)
+            # build the mask INSIDE the dispatch lock: ingest mutates
+            # field_rows and flush-time compaction renumbers rows under
+            # coll+engine locks — a mask built unlocked could be applied
+            # to a renumbered row space (silently wrong filter results)
             with self._engine_dispatch_lock:
+                self.dense.finalize_sampling()
+                row_mask = self.dense.row_mask_for(mask_fn)
                 ids, scores = self.dense.search(
                     np.asarray(query_vectors, np.float32), top_k,
                     row_mask=row_mask,
@@ -946,22 +1001,29 @@ class Collection:
         """RRF fusion of two legs, each fetching 3*top_k
         (search/repo.rs:168-341)."""
         fetch = top_k * 3
+        rrt = return_raw_text  # legs must fetch text when the caller wants it
         if "query_vector" in query and "query_terms" in query:
             leg_fns = [
-                lambda: self.search_dense([query["query_vector"]], fetch)[0],
+                lambda: self.search_dense([query["query_vector"]], fetch,
+                        return_raw_text=rrt)[0],
                 lambda: self.search_sparse([query["query_terms"]], fetch,
-                        query.get("sparse_early_terminate_threshold"))[0],
+                        query.get("sparse_early_terminate_threshold"),
+                        return_raw_text=rrt)[0],
             ]
         elif "query_vector" in query and "query_text" in query:
             leg_fns = [
-                lambda: self.search_dense([query["query_vector"]], fetch)[0],
-                lambda: self.search_tfidf([query["query_text"]], fetch)[0],
+                lambda: self.search_dense([query["query_vector"]], fetch,
+                        return_raw_text=rrt)[0],
+                lambda: self.search_tfidf([query["query_text"]], fetch,
+                        return_raw_text=rrt)[0],
             ]
         elif "query_terms" in query and "query_text" in query:
             leg_fns = [
                 lambda: self.search_sparse([query["query_terms"]], fetch,
-                        query.get("sparse_early_terminate_threshold"))[0],
-                lambda: self.search_tfidf([query["query_text"]], fetch)[0],
+                        query.get("sparse_early_terminate_threshold"),
+                        return_raw_text=rrt)[0],
+                lambda: self.search_tfidf([query["query_text"]], fetch,
+                        return_raw_text=rrt)[0],
             ]
         else:
             raise ValueError(
@@ -995,6 +1057,13 @@ class Collection:
     def restore_indexes_from_meta(self) -> None:
         """Recreate index handles from the persisted descriptors
         (IndexOps::load_data role, indexes/mod.rs:176-213)."""
+        self._restoring = True
+        try:
+            self._restore_indexes_inner()
+        finally:
+            self._restoring = False
+
+    def _restore_indexes_inner(self) -> None:
         for desc in self.meta.get("indexes", self.name, default=[]) or []:
             t = desc.get("index_type")
             try:
@@ -1120,7 +1189,9 @@ class Collection:
         """Rollup over transaction statuses (collection.rs:577-645)."""
         counts = {"not_started": 0, "in_progress": 0, "complete": 0}
         total_upserted = 0
-        for txn in self.txns.values():
+        with self.lock:  # create_transaction inserts concurrently
+            txns = list(self.txns.values())
+        for txn in txns:
             st = txn.status.to_dict()
             counts[st["status"]] += 1
             total_upserted += st["records_upserted"]

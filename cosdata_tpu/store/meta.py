@@ -32,15 +32,26 @@ class MetaStore:
         )
         self._conn.commit()
 
+
+    def _write(self, sql: str, params: tuple) -> None:
+        """Execute + commit; ROLL BACK on failure so the shared connection
+        never carries a failed statement into a later unrelated commit
+        (which would durably persist a write the caller saw fail)."""
+        with self._lock:
+            try:
+                self._conn.execute(sql, params)
+                self._conn.commit()
+            except Exception:
+                self._conn.rollback()
+                raise
+
     def put(self, db: str, key, value) -> None:
         kb = msgpack.packb(key)
         vb = msgpack.packb(value)
-        with self._lock:
-            self._conn.execute(
-                "INSERT OR REPLACE INTO kv (db, key, value) VALUES (?, ?, ?)",
-                (db, kb, vb),
-            )
-            self._conn.commit()
+        self._write(
+            "INSERT OR REPLACE INTO kv (db, key, value) VALUES (?, ?, ?)",
+            (db, kb, vb),
+        )
 
     def get(self, db: str, key, default=None):
         kb = msgpack.packb(key)
@@ -54,9 +65,7 @@ class MetaStore:
 
     def delete(self, db: str, key) -> None:
         kb = msgpack.packb(key)
-        with self._lock:
-            self._conn.execute("DELETE FROM kv WHERE db = ? AND key = ?", (db, kb))
-            self._conn.commit()
+        self._write("DELETE FROM kv WHERE db = ? AND key = ?", (db, kb))
 
     def items(self, db: str):
         with self._lock:
@@ -72,9 +81,7 @@ class MetaStore:
         ]
 
     def clear(self, db: str) -> None:
-        with self._lock:
-            self._conn.execute("DELETE FROM kv WHERE db = ?", (db,))
-            self._conn.commit()
+        self._write("DELETE FROM kv WHERE db = ?", (db,))
 
     def close(self) -> None:
         with self._lock:

@@ -219,6 +219,87 @@ class TestRestartReplay:
         res = coll2.search_dense([x[7].tolist()], top_k=1)
         assert res[0][0]["id"] == 7
 
+    def test_streaming_wal_survives_mid_epoch_explicit_commit(self, tmp_path):
+        """An explicit commit mid-epoch advances background PAST the open
+        implicit version; its durable WAL must STILL be replayed on
+        restart or acknowledged streaming writes are lost (r2 review)."""
+        ctx = _ctx(tmp_path)
+        coll = _mk_collection(ctx, "cwx")
+        coll.create_dense_index(
+            quantization={"type": "scalar", "data_type": "f32"},
+            hnsw_params={"wave_size": 64, "num_layers": 3},
+        )
+        ctx._persist_index_descriptors(coll)
+        x = _unit(20, 32, 6)
+        # open an implicit epoch (version 1) with two streamed vectors
+        coll.stream_upsert([{"id": "s0", "dense_values": x[0].tolist()}])
+        # explicit txn commits as version 2 and fully indexes
+        txn = coll.create_transaction()
+        coll.txn_upsert(
+            txn.txn_id, [{"id": "e0", "dense_values": x[10].tolist()}], False
+        )
+        v2 = coll.commit_transaction(txn.txn_id)
+        ctx.indexing.trigger(coll, v2, txn)
+        ctx.indexing.wait_idle()
+        assert coll.vcs.background_version == v2  # past the implicit v1
+        # more acknowledged streaming writes into the STILL-OPEN epoch
+        coll.stream_upsert([{"id": "s1", "dense_values": x[1].tolist()}])
+        imp_v = coll.implicit.version
+        assert imp_v < v2
+        assert (coll.data_dir / f"{imp_v}.wal").exists()
+        ctx.meta.close()  # crash: epoch never closed
+
+        ctx2 = _ctx(tmp_path)
+        coll2 = ctx2.get_collection("cwx")
+        # the implicit WAL was replayed despite background > its version
+        assert coll2.get_vector("s0") is not None
+        assert coll2.get_vector("s1") is not None
+        assert coll2.get_vector("e0") is not None
+        assert not (coll2.data_dir / f"{imp_v}.wal").exists()
+
+    def test_implicit_replay_preserves_op_order(self, tmp_path):
+        """Streaming ops are applied inline in strict order; crash replay
+        must reproduce that state — a delete-then-reupsert of the same id
+        must SURVIVE (the delete-after-upsert reorder is explicit-txn
+        parity only)."""
+        ctx = _ctx(tmp_path)
+        coll = _mk_collection(ctx, "cord")
+        coll.create_dense_index(
+            quantization={"type": "scalar", "data_type": "f32"},
+            hnsw_params={"wave_size": 64, "num_layers": 3},
+        )
+        ctx._persist_index_descriptors(coll)
+        x = _unit(4, 32, 7)
+        coll.stream_upsert([{"id": "a", "dense_values": x[0].tolist()}])
+        coll.stream_delete("a")
+        coll.stream_upsert([{"id": "a", "dense_values": x[1].tolist()}])
+        imp_v = coll.implicit.version
+        ctx.meta.close()  # crash before epoch close
+
+        ctx2 = _ctx(tmp_path)
+        coll2 = ctx2.get_collection("cord")
+        rec = coll2.get_vector("a")
+        assert rec is not None, "upsert-after-delete must survive replay"
+        np.testing.assert_allclose(
+            rec["dense_values"], x[1].tolist(), atol=1e-4
+        )
+        assert not (coll2.data_dir / f"{imp_v}.wal").exists()
+
+    @pytest.mark.fast
+    def test_abort_releases_wal_payloads(self, tmp_path):
+        ctx = _ctx(tmp_path)
+        coll = _mk_collection(ctx, "cab")
+        txn = coll.create_transaction()
+        coll.txn_upsert(
+            txn.txn_id,
+            [{"id": f"v{i}", "dense_values": [0.1] * 32} for i in range(50)],
+            upsert=True,
+        )
+        coll.abort_transaction(txn.txn_id)
+        assert txn.wal.ops == []  # payloads freed
+        st = coll.get_transaction(txn.txn_id)  # status stays queryable
+        assert st is txn
+
     def test_snapshot_restore(self, tmp_path):
         ctx = _ctx(tmp_path)
         coll = _mk_collection(ctx, "cs", sparse=True, tfidf=True)
