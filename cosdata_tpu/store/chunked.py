@@ -11,9 +11,12 @@ O(touched chunks), not O(collection).
 
 Layout per array (inside a snapshot directory)::
 
-    <name>.meta.json                 {shape, dtype, chunk_rows, axis,
-                                      chunks: {"0": epoch, ...}}
-    <name>.c<chunk>.<epoch>.npy      one file per chunk, epoch-suffixed
+    <name>.meta.json                    {shape, dtype, chunk_rows, axis, gen,
+                                         chunks: {"0": [epoch, row_extent]}}
+    <name>.c<chunk>.e<epoch>.r<rows>.npy  one immutable file per chunk;
+                                          epoch AND row extent in the name,
+                                          so extent changes (capacity grow/
+                                          shrink) write new files
 
 Chunk files are immutable once written; the meta file (atomically replaced)
 references exactly one epoch per chunk, so a crash mid-save never produces
@@ -109,15 +112,12 @@ def save_chunked(
     name: str,
     arr,  # jax or numpy array; chunked along `axis`
     tracker: DirtyTracker | None,
-    n_rows: int | None = None,
     axis: int = 0,
 ) -> None:
     """Write the dirty chunks of ``arr`` into ``snap_dir``.
 
-    ``n_rows``: logical row count (rows past it are zero-padding capacity and
-    only persisted when their chunk is dirty anyway). ``tracker=None`` forces
-    a full write. Device arrays are transferred chunk-by-chunk — clean chunks
-    never leave the device.
+    ``tracker=None`` forces a full write. Device arrays are transferred
+    chunk-by-chunk — clean chunks never leave the device.
     """
     snap_dir = Path(snap_dir)
     snap_dir.mkdir(parents=True, exist_ok=True)
@@ -190,11 +190,20 @@ def save_chunked(
             "chunks": {str(k): list(v) for k, v in new_chunks.items()},
         },
     )
-    # GC chunk files the meta no longer references
+    # one dir fsync covers every chunk rename + the meta replace above
+    dfd = os.open(snap_dir, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
+    # GC chunk files the meta no longer references, and .tmp leftovers a
+    # crash mid-write may have stranded (they never matched *.npy before)
     live = {f"{name}.c{c}.e{e}.r{r}.npy" for c, (e, r) in new_chunks.items()}
     for f in snap_dir.glob(f"{name}.c*.npy"):
         if f.name not in live:
             f.unlink(missing_ok=True)
+    for f in snap_dir.glob(f"{name}.c*.npy.tmp"):
+        f.unlink(missing_ok=True)
 
 
 def load_chunked(snap_dir: Path, name: str, out_factory=None) -> np.ndarray | None:

@@ -18,6 +18,15 @@ import numpy as np
 import jax.numpy as jnp
 
 
+def _fsync_dir(path: Path) -> None:
+    """Make a rename durable: the dirent must hit disk too."""
+    dfd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
+
+
 def _atomic_write(path: Path, data: bytes):
     tmp = path.with_suffix(path.suffix + ".tmp")
     with open(tmp, "wb") as f:
@@ -25,12 +34,18 @@ def _atomic_write(path: Path, data: bytes):
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, path)
+    _fsync_dir(path.parent)
 
 
 def _save_npz(path: Path, arrays: dict):
     tmp = path.with_suffix(".tmp.npz")
     np.savez(tmp, **{k: np.asarray(v) for k, v in arrays.items()})
+    # fsync BEFORE the rename: a power loss must not leave a durable
+    # msgpack pointing at a torn npz (np.savez does not sync)
+    with open(tmp, "rb+") as f:
+        os.fsync(f.fileno())
     os.replace(tmp, path)
+    _fsync_dir(path.parent)
 
 
 def _dense_rows_state(coll):
@@ -65,21 +80,27 @@ def _save_maps(coll, snap_dir: Path, archive: bool = False) -> None:
     )
     if can_increment:
         frame = {"ops": deltas}
+        new_mark = saved.get("dense_mark", 0)
         if d is not None:
             mark = saved.get("dense_mark", 0)
-            if len(d.internal_of) > mark:
+            new_mark = len(d.internal_of)
+            if new_mark > mark:
                 frame["drows"] = {
                     "internal_of": list(d.internal_of[mark:]),
                     "field_rows": {
                         f: list(v[mark:]) for f, v in d.field_rows.items()
                     },
                 }
-            saved["dense_mark"] = len(d.internal_of)
         if frame["ops"] or "drows" in frame:
             with open(log_p, "ab") as f:
                 f.write(msgpack.packb(frame))
                 f.flush()
                 os.fsync(f.fileno())
+        # advance the mark only AFTER the frame is durably appended — an
+        # ENOSPC mid-append must not permanently drop these rows from
+        # every future incremental frame
+        if d is not None:
+            saved["dense_mark"] = new_mark
         coll._map_log = []
         log_sz = log_p.stat().st_size if log_p.exists() else 0
         if log_sz <= max(base_p.stat().st_size, 1 << 20):
@@ -181,7 +202,10 @@ def save_collection_state(coll, snap_dir: str | Path, archive: bool = False) -> 
                 (int(i), d.tolist(), v.tolist()) for i, d, v in s._sample
             ],
         }
-        _atomic_write(snap_dir / "sparse.msgpack", msgpack.packb(data))
+        # write order matters for crash consistency: chunked arrays and the
+        # npz FIRST, the msgpack manifest LAST — loaders key on the
+        # manifest, so a crash mid-save must never leave a manifest whose
+        # data files are missing (the dense section uses the same order)
         _save_npz(
             snap_dir / "sparse.npz",
             {
@@ -198,6 +222,7 @@ def save_collection_state(coll, snap_dir: str | Path, archive: bool = False) -> 
         save_chunked(snap_dir, "sp_raw_dims", s._raw_dims, raw_t)
         save_chunked(snap_dir, "sp_raw_vals", s._raw_vals, raw_t)
         s.tracker.bump()  # see the dense-section invariant note
+        _atomic_write(snap_dir / "sparse.msgpack", msgpack.packb(data))
 
     if coll.tfidf is not None:
         t = coll.tfidf
@@ -334,7 +359,17 @@ def load_collection_state(coll, snap_dir: str | Path) -> None:
             # preserve the beyond-RAM tier: stream chunks straight into a
             # fresh memmap instead of materializing GBs in host RAM
             def _disk_dest(shape, dtype):
-                return vs._new_memmap(int(shape[0]))
+                # replace (and unlink) the memmap the store constructor
+                # just allocated — every load would otherwise orphan one
+                # cosdata_raw_*.f32 temp file forever
+                stale = getattr(vs, "_raw_path", None)
+                mm = vs._new_memmap(int(shape[0]))
+                if stale and stale != vs._raw_path:
+                    try:
+                        os.unlink(stale)
+                    except OSError:
+                        pass
+                return mm
 
             vs._raw_host = load_chunked(
                 snap_dir, "raw_host", out_factory=_disk_dest
@@ -398,10 +433,7 @@ def load_collection_state(coll, snap_dir: str | Path) -> None:
         if vs._raw is not None:
             store_names.append("raw")
         adopt_tracker(snap_dir, vs.tracker, store_names)
-        coll._maps_saved = {
-            "dense_gen": getattr(d, "_gen", 0),
-            "dense_mark": len(d.internal_of),
-        }
+        # _maps_saved is set once at the end of this function (all kinds)
 
     sparse_p = snap_dir / "sparse.msgpack"
     if sparse_p.exists() and coll.sparse is not None:
@@ -473,3 +505,11 @@ def load_collection_state(coll, snap_dir: str | Path) -> None:
             p.ids = list(ids)
             t._postings[int(term)] = p
             t._tfs[int(term)] = list(tfs)
+    # incremental-maps bookkeeping for EVERY collection kind: without it a
+    # sparse-/tfidf-only collection's first commit after restart rewrites
+    # the whole maps base instead of appending an O(batch) frame
+    d = coll.dense
+    coll._maps_saved = {
+        "dense_gen": getattr(d, "_gen", 0) if d is not None else None,
+        "dense_mark": len(d.internal_of) if d is not None else 0,
+    }
