@@ -107,11 +107,14 @@ class InvertedIndex:
         self.is_configured = values_upper_bound is not None
         self.values_upper_bound = float(values_upper_bound or 1.0)
         self._sample: list[tuple[int, np.ndarray, np.ndarray]] = []
-        #: guards the pending buffers: ingest appends under the collection
-        #: lock while searches fold under the engine dispatch lock — two
-        #: different lock domains, so the buffers need their own mutex (an
-        #: unsynchronized read-then-clear in the fold would drop postings)
-        self._pend_lock = threading.Lock()
+        #: guards the pending buffers AND the dirty flag: ingest appends
+        #: under the collection lock while searches fold under the engine
+        #: dispatch lock — two different lock domains, so the buffers need
+        #: their own mutex (an unsynchronized read-then-clear in the fold
+        #: would drop postings; a flag cleared after an unsynchronized fold
+        #: would hide a concurrent append's postings until the next write).
+        #: RLock: _build_csr holds it across fold + upload + flag clear.
+        self._pend_lock = threading.RLock()
         # pending ingest buffers (vectorized; folded into the CSR at build)
         self._pend_docs: list[np.ndarray] = []
         self._pend_dims: list[np.ndarray] = []
@@ -224,20 +227,26 @@ class InvertedIndex:
             self._raw_vals[internal_ids] = vpad
             self.tracker.bump()
             self.tracker.mark_rows("raw", internal_ids)
-        new_doc = ~self._has_doc[internal_ids]
-        revived = (~new_doc) & (~self._alive[internal_ids])
+        # count UNIQUE ids: a duplicate id in one batch would be counted
+        # twice (both occurrences read _has_doc before either writes it),
+        # permanently skewing the live/total ratio compaction keys on
+        uniq = np.unique(internal_ids)
+        new_doc = ~self._has_doc[uniq]
+        revived = (~new_doc) & (~self._alive[uniq])
         self.n_docs += int(new_doc.sum())
         self.live_docs += int(new_doc.sum() + revived.sum())
-        self._has_doc[internal_ids] = True
-        self._alive[internal_ids] = True
+        self._has_doc[uniq] = True
+        self._alive[uniq] = True
         self._alive_dev = None
 
     def _finalize_sampling(self):
-        all_vals = (
-            np.concatenate([v for _, _, v in self._sample])
-            if self._sample
-            else np.zeros(0, np.float32)
-        )
+        if not self._sample:
+            # nothing sampled yet: do NOT lock in the default upper bound —
+            # a warm-up search or a sparse-less commit before the first
+            # sparse upsert would otherwise permanently disable auto-tuning
+            # (SPLADE values > 1.0 would all clamp to the top bucket)
+            return
+        all_vals = np.concatenate([v for _, _, v in self._sample])
         self.values_upper_bound = tune_upper_bound(all_vals, self.clamp_margin_percent)
         self.is_configured = True
         pending, self._sample = self._sample, []
@@ -329,6 +338,13 @@ class InvertedIndex:
         ]
 
     def delete(self, internal_id: int) -> None:
+        # the doc may still sit in the sampling buffer: purge it there too,
+        # or _finalize_sampling would resurrect it as an undeletable ghost
+        # (its external-id mapping is already gone)
+        if self._sample:
+            self._sample = [
+                rec for rec in self._sample if rec[0] != internal_id
+            ]
         if internal_id < self.n_cap:
             if self._has_doc[internal_id] and self._alive[internal_id]:
                 self.live_docs -= 1
@@ -390,14 +406,22 @@ class InvertedIndex:
 
     def _build_csr(self):
         """Fold pending postings and upload the device CSR if stale."""
-        if self._csr_dirty or self._csr_ids is None:
-            self._fold_pending()
-            if len(self._h_ids) == 0:
-                self._csr_ids = None
-            elif self._csr_ids is None or self._csr_dirty:
-                self._csr_ids = jnp.asarray(self._h_ids)
-                self._csr_vals = jnp.asarray(self._h_buckets.astype(np.float32))
-            self._csr_dirty = False
+        if not (self._csr_dirty or self._csr_ids is None):
+            return
+        # hold the pend lock across fold + upload + flag clear: an append
+        # landing between an unlocked fold and the flag clear would be
+        # hidden (flag overwritten False with data still pending)
+        with self._pend_lock:
+            if self._csr_dirty or self._csr_ids is None:
+                self._fold_pending()
+                if len(self._h_ids) == 0:
+                    self._csr_ids = None
+                else:
+                    self._csr_ids = jnp.asarray(self._h_ids)
+                    self._csr_vals = jnp.asarray(
+                        self._h_buckets.astype(np.float32)
+                    )
+                self._csr_dirty = False
 
     #: per-query total posting-scan budget, distributed over the query's
     #: present dims (each dim gets >= one segment, <= MAX_DIM_POSTINGS).
@@ -414,28 +438,48 @@ class InvertedIndex:
 
     def _query_segments(self, pairs) -> list[tuple[int, int, float]]:
         """One query -> [(start, len, multiplier)] segment descriptors with
-        early termination applied; long dims split into SEGCAP segments."""
-        low_threshold = int(self.early_terminate_threshold * (1 << self.bits))
-        etv = min(int((1 << self.bits) * self.early_terminate_threshold), 255)
-        present = [
-            (int(d), float(v), self._csr_range[int(d)])
-            for d, v in sorted(pairs, key=lambda p: -p[1])
-            if int(d) in self._csr_range
-        ]
+        early termination applied; long dims split into SEGCAP segments.
+
+        The scan budget is a HARD per-query bound: dims are processed in
+        descending query-value order (highest contribution first, the
+        early-termination principle) and segment emission stops once the
+        budget is exhausted — the old per-dim floor let an adversarial
+        many-dim query gather 512 x n_dims postings, unbounded."""
+        # scale thresholds by the actual max bucket (maxval), not 2^bits —
+        # a threshold of 1.0 with quantization=64 computed a cutoff of 64,
+        # above every stored bucket (max 63), cutting ALL postings
+        low_threshold = int(self.early_terminate_threshold * self.maxval)
+        etv = min(int(self.maxval * self.early_terminate_threshold), self.maxval)
+        present = []
+        for d, v in sorted(pairs, key=lambda p: -p[1]):
+            rng = self._csr_range.get(int(d))
+            if rng is None:
+                continue
+            qqv = int(self.quantize(np.float32(v)))
+            if qqv == 0:
+                # zero multiplier contributes nothing to any score (the
+                # reference accumulates qv*bucket too) — skip it rather
+                # than spending budget gathering postings multiplied by 0
+                continue
+            present.append((int(d), qqv, rng))
         if not present:
             return []
         per_dim = max(self.SCAN_BUDGET // len(present), self.SEGCAP)
         per_dim = min(per_dim - per_dim % self.SEGCAP, self.MAX_DIM_POSTINGS)
         segs: list[tuple[int, int, float]] = []
-        for dim, value, (start, length) in present:
-            qqv = int(self.quantize(np.float32(value)))
+        total = 0
+        for dim, qqv, (start, length) in present:
+            if total >= self.SCAN_BUDGET and segs:
+                break  # budget exhausted; lowest-value dims dropped
             if qqv <= low_threshold:
                 buckets = self._h_buckets[start : start + length]
                 cut = int(np.searchsorted(-buckets, -etv, side="right"))
                 length = min(length, cut)
             length = min(length, per_dim)
             for off in range(0, length, self.SEGCAP):
-                segs.append((start + off, min(self.SEGCAP, length - off), float(qqv)))
+                seg_len = min(self.SEGCAP, length - off)
+                segs.append((start + off, seg_len, float(qqv)))
+                total += seg_len
         return segs
 
     def search(

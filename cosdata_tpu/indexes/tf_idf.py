@@ -100,8 +100,13 @@ class TFIDFIndex:
         self._insert(internal_id, text)
 
     def _finalize_sampling(self):
-        if self._sample:
-            self.average_document_length = self._sample_len_sum / len(self._sample)
+        if not self._sample:
+            # nothing sampled: do NOT lock avgdl at the 1.0 default — a
+            # warm-up search or a text-less commit before the first text
+            # upsert would permanently deflate every later document's
+            # BM25 tf (avgdl is baked into stored tfs at insert time)
+            return
+        self.average_document_length = self._sample_len_sum / len(self._sample)
         self.is_configured = True
         pending, self._sample = self._sample, []
         for iid, text in pending:
@@ -156,6 +161,18 @@ class TFIDFIndex:
         self._has_doc[internal_id] = True
 
     def delete(self, internal_id: int) -> None:
+        # purge from the sampling buffer too — _finalize_sampling would
+        # otherwise resurrect the doc as an undeletable ghost
+        if self._sample:
+            kept = []
+            for rec in self._sample:
+                if rec[0] == internal_id:
+                    self._sample_len_sum -= count_tokens(
+                        rec[1], self.max_token_len
+                    )
+                else:
+                    kept.append(rec)
+            self._sample = kept
         if internal_id < self.n_cap:
             if self._has_doc[internal_id] and self._alive[internal_id]:
                 self.live_documents -= 1

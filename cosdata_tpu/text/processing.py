@@ -117,11 +117,19 @@ def _stem_hash(lower_token: str) -> int:
     return xxhash.xxh32(stemmed.encode("utf-8"), seed=0).intdigest()
 
 
+def _tok_len(tok: str) -> int:
+    """Token length in UTF-8 BYTES: the reference checks Rust &str byte
+    length (mod.rs:304), so a 25-char Cyrillic token (50 bytes) must be
+    dropped by both implementations for scores to stay comparable. ASCII
+    fast path avoids the encode."""
+    return len(tok) if tok.isascii() else len(tok.encode("utf-8"))
+
+
 def count_tokens(text: str, max_token_len: int = 40) -> int:
     """Document length = count of valid non-stopword tokens (mod.rs:373-389)."""
     n = 0
     for tok in tokenize(text):
-        if len(tok) > max_token_len:
+        if _tok_len(tok) > max_token_len:
             continue
         if tok.lower() in STOPWORDS:
             continue
@@ -132,7 +140,7 @@ def count_tokens(text: str, max_token_len: int = 40) -> int:
 def _term_counts(text: str, max_token_len: int) -> dict[int, int]:
     freq: dict[int, int] = {}
     for tok in tokenize(text):
-        if len(tok) > max_token_len:
+        if _tok_len(tok) > max_token_len:
             continue
         lower = tok.lower()
         if lower in STOPWORDS:

@@ -2,6 +2,8 @@
 
 import math
 
+import pytest
+
 import numpy as np
 
 from cosdata_tpu.indexes.inverted import InvertedIndex, tune_upper_bound
@@ -257,3 +259,88 @@ class TestAddBatch:
         ib, sb = b.search(q, top_k=5, rerank=True)
         assert np.array_equal(ia, ib)
         np.testing.assert_allclose(sa, sb, rtol=1e-5)
+
+
+class TestSamplingEdges:
+    """Sampling-phase edge cases from the r2 high-effort review."""
+
+    @pytest.mark.fast
+    def test_delete_purges_sampling_buffer(self):
+        """A doc deleted while still buffered below sample_threshold must
+        NOT be resurrected by _finalize_sampling (ghost documents)."""
+        inv = InvertedIndex(quantization=64, sample_threshold=100)
+        inv.add(0, np.asarray([1, 2]), np.asarray([0.5, 0.9]))
+        inv.add(1, np.asarray([1, 3]), np.asarray([0.4, 0.8]))
+        inv.delete(0)
+        inv.flush()  # finalizes sampling with the remaining doc
+        assert inv.is_configured
+        ids, _ = inv.search([[(1, 0.5)]], top_k=5)
+        assert 0 not in set(map(int, ids[0]))
+        assert 1 in set(map(int, ids[0]))
+        assert inv.live_docs == 1
+
+    @pytest.mark.fast
+    def test_empty_finalize_does_not_lock_tuning(self):
+        """A search/flush before the first upsert must not permanently pin
+        values_upper_bound (sparse) or avgdl (BM25) at defaults."""
+        inv = InvertedIndex(quantization=64, sample_threshold=4)
+        ids, _ = inv.search([[(1, 0.5)]], top_k=3)  # warm-up search
+        assert (np.asarray(ids) == -1).all()
+        assert not inv.is_configured  # still tunable
+        for i in range(4):
+            inv.add(i, np.asarray([i]), np.asarray([3.5]))
+        assert inv.is_configured
+        assert inv.values_upper_bound >= 4  # tuned from data, not locked at 1
+
+        tfi = TFIDFIndex(sample_threshold=3)
+        tfi.search(["warmup"], top_k=2)
+        assert not tfi.is_configured
+        for i in range(3):
+            tfi.add(i, "some words repeated here " * 10)
+        assert tfi.is_configured
+        assert tfi.average_document_length > 10  # tuned, not 1.0
+
+    @pytest.mark.fast
+    def test_tfidf_delete_purges_sampling_buffer(self):
+        tfi = TFIDFIndex(sample_threshold=100)
+        tfi.add(0, "alpha beta gamma")
+        tfi.add(1, "alpha delta")
+        tfi.delete(0)
+        tfi.flush()
+        ids, _ = tfi.search(["alpha"], top_k=5)
+        got = set(map(int, ids[0]))
+        assert 0 not in got and 1 in got
+        assert tfi.live_documents == 1
+
+    @pytest.mark.fast
+    def test_scan_budget_is_hard_bound(self):
+        """An adversarial many-dim query must not gather SEGCAP x n_dims
+        postings — the budget is a hard per-query cap."""
+        inv = InvertedIndex(quantization=64, values_upper_bound=4.0)
+        rng = np.random.default_rng(3)
+        n_dims = 512
+        for i in range(64):
+            dims = rng.choice(n_dims, size=32, replace=False).astype(np.int64)
+            inv.add(i, dims, rng.uniform(0.5, 3.5, 32).astype(np.float32))
+        inv.flush()
+        q = [(d, 1.0) for d in range(n_dims)]
+        segs = inv._query_segments(q)
+        total = sum(l for _, l, _ in segs)
+        assert total <= inv.SCAN_BUDGET + inv.MAX_DIM_POSTINGS
+        # and the query still finds real matches
+        ids, _ = inv.search([q], top_k=5)
+        assert (np.asarray(ids[0]) >= 0).any()
+
+    @pytest.mark.fast
+    def test_early_terminate_threshold_scaled_by_maxval(self):
+        """threshold=1.0 means 'scan only the TOP bucket' — the old cutoff
+        used 2^bits (one above the max bucket), cutting even top-bucket
+        postings so every such search returned nothing."""
+        inv = InvertedIndex(quantization=64, values_upper_bound=4.0,
+                            early_terminate_threshold=1.0)
+        inv.add(0, np.asarray([5]), np.asarray([4.0]))  # clamps to bucket 63
+        inv.add(1, np.asarray([5]), np.asarray([1.0]))  # low bucket
+        inv.flush()
+        ids, _ = inv.search([[(5, 4.0)]], top_k=3)
+        got = set(int(i) for i in np.asarray(ids[0]) if i >= 0)
+        assert 0 in got, "top-bucket posting must survive threshold=1.0"
