@@ -436,6 +436,31 @@ class InvertedIndex:
     SCAN_BUDGET = 65536
     MAX_DIM_POSTINGS = 16384
 
+    @staticmethod
+    def _waterfill(lengths, budget, segcap, maxper) -> list[int]:
+        """Distribute a total posting budget over posting lists.
+
+        Short lists take their full length; the slack they leave
+        redistributes to the longer lists (water-filling), instead of every
+        list getting the same `budget // n` cap — a uniform cap strands
+        budget on short rare-term lists while truncating exactly the
+        head-term lists where cut postings cost recall. Each list is
+        guaranteed one segment and capped at `maxper`; allocations are
+        rounded to segment multiples."""
+        n = len(lengths)
+        alloc = [0] * n
+        rem = budget
+        m = n
+        for i in sorted(range(n), key=lambda j: lengths[j]):
+            fair = max(rem // m, segcap)
+            li = min(lengths[i], maxper)
+            if li > fair:
+                li = max(min(fair - fair % segcap, maxper), segcap)
+            alloc[i] = li
+            rem -= li
+            m -= 1
+        return alloc
+
     def _query_segments(self, pairs) -> list[tuple[int, int, float]]:
         """One query -> [(start, len, multiplier)] segment descriptors with
         early termination applied; long dims split into SEGCAP segments.
@@ -464,18 +489,67 @@ class InvertedIndex:
             present.append((int(d), qqv, rng))
         if not present:
             return []
-        per_dim = max(self.SCAN_BUDGET // len(present), self.SEGCAP)
-        per_dim = min(per_dim - per_dim % self.SEGCAP, self.MAX_DIM_POSTINGS)
-        segs: list[tuple[int, int, float]] = []
-        total = 0
+        # effective scan length per dim (early-termination cut applied)
+        eff_lens = []
+        blists = []
         for dim, qqv, (start, length) in present:
-            if total >= self.SCAN_BUDGET and segs:
-                break  # budget exhausted; lowest-value dims dropped
+            buckets = self._h_buckets[start : start + length]
             if qqv <= low_threshold:
-                buckets = self._h_buckets[start : start + length]
                 cut = int(np.searchsorted(-buckets, -etv, side="right"))
                 length = min(length, cut)
-            length = min(length, per_dim)
+                buckets = buckets[:length]
+            eff_lens.append(length)
+            blists.append(buckets)
+        if sum(eff_lens) <= self.SCAN_BUDGET:
+            alloc = [min(l, self.MAX_DIM_POSTINGS) for l in eff_lens]
+        else:
+            # budget binds: keep the globally highest-IMPACT postings.
+            # A posting's score contribution is qqv_d * bucket; postings are
+            # bucket-descending per dim, so "impact >= T" is a per-dim
+            # prefix cut at bucket >= T/qqv_d. Binary-search the largest
+            # budget-feasible threshold T — the greedy-optimal truncation
+            # frontier across dims (the reference's early-termination
+            # principle, sparse_ann_query.rs:89-126, made exact), instead
+            # of allocating per-dim LENGTHS blind to query values.
+            qqvs = [q for _, q, _ in present]
+            lo, hi = 0.0, float(max(qqvs)) * float(self.maxval) + 1.0
+            alloc = [min(l, self.MAX_DIM_POSTINGS) for l in eff_lens]
+            for _ in range(24):
+                mid = (lo + hi) / 2
+                total = 0
+                cuts = []
+                for q, b, l in zip(qqvs, blists, eff_lens):
+                    c = int(np.searchsorted(-b, -(mid / q), side="right"))
+                    c = min(c, l, self.MAX_DIM_POSTINGS)
+                    cuts.append(c)
+                    total += c
+                if total <= self.SCAN_BUDGET:
+                    alloc = cuts
+                    hi = mid
+                else:
+                    lo = mid
+            # spend any leftover budget on the still-truncated dims in
+            # descending-qqv order (one SEGCAP chunk at a time)
+            rem = self.SCAN_BUDGET - sum(alloc)
+            while rem >= 1:
+                grew = False
+                for i in range(len(alloc)):
+                    cap = min(eff_lens[i], self.MAX_DIM_POSTINGS)
+                    if alloc[i] < cap:
+                        step = min(self.SEGCAP, cap - alloc[i], rem)
+                        if step > 0:
+                            alloc[i] += step
+                            rem -= step
+                            grew = True
+                    if rem < 1:
+                        break
+                if not grew:
+                    break
+        segs: list[tuple[int, int, float]] = []
+        total = 0
+        for (dim, qqv, (start, _)), length in zip(present, alloc):
+            if total >= self.SCAN_BUDGET and segs:
+                break  # budget exhausted; lowest-value dims dropped
             for off in range(0, length, self.SEGCAP):
                 seg_len = min(self.SEGCAP, length - off)
                 segs.append((start + off, seg_len, float(qqv)))

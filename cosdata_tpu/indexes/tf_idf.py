@@ -276,18 +276,21 @@ class TFIDFIndex:
                 present.append((term, rng))
             # per-query scan budget over the present terms: postings are
             # tf-descending, so the cut keeps the strongest per-term
-            # candidates (head terms carry little idf anyway — cutting
-            # their tail barely moves BM25 top-k)
-            per_term = self.MAX_TERM_POSTINGS
-            if present:
-                per_term = max(self.SCAN_BUDGET // len(present), self.SEGCAP)
-                per_term = min(
-                    per_term - per_term % self.SEGCAP, self.MAX_TERM_POSTINGS
-                )
-            for term, (start, length) in present:
+            # candidates. Budget is water-filled — rare (short-list) terms
+            # take their full postings and their slack flows to the
+            # head-term lists, instead of a uniform budget//n cap that
+            # strands budget on the rare terms while over-truncating the
+            # frequent ones (see InvertedIndex._waterfill).
+            from cosdata_tpu.indexes.inverted import InvertedIndex
+
+            alloc = InvertedIndex._waterfill(
+                [rng[1] for _, rng in present],
+                self.SCAN_BUDGET, self.SEGCAP, self.MAX_TERM_POSTINGS,
+            ) if present else []
+            for (term, (start, length)), cap in zip(present, alloc):
                 df = self._live_df.get(term, length)
                 idf = get_idf(self.live_documents, df)
-                length = min(length, per_term)
+                length = min(length, cap)
                 for off in range(0, length, self.SEGCAP):
                     segs.append(
                         (start + off, min(self.SEGCAP, length - off), idf)

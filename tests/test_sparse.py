@@ -332,6 +332,46 @@ class TestSamplingEdges:
         assert (np.asarray(ids[0]) >= 0).any()
 
     @pytest.mark.fast
+    def test_waterfill_redistributes_short_list_slack(self):
+        """Short lists take their full length; their slack flows to the
+        long lists instead of everyone getting budget//n."""
+        alloc = InvertedIndex._waterfill([10, 10, 1000, 1000], 500, 16, 1 << 30)
+        assert alloc[0] == 10 and alloc[1] == 10
+        # uniform would cap the long lists at 125; waterfill gives each
+        # (500-20)//2 = 240 rounded down to a 16-multiple
+        assert alloc[2] >= 224 and alloc[3] >= 224
+        assert sum(alloc) <= 500
+        # caps and floors hold
+        alloc = InvertedIndex._waterfill([5000], 100, 16, 64)
+        assert alloc == [64]
+
+    @pytest.mark.fast
+    def test_impact_threshold_favors_high_value_dims(self):
+        """When the budget binds, postings are kept by qqv*bucket impact:
+        a high-value query dim keeps more of its long list than a
+        low-value one of equal length."""
+        inv = InvertedIndex(quantization=64, values_upper_bound=4.0)
+        rng = np.random.default_rng(5)
+        n = 4000
+        # two dims, same length, same bucket profile
+        for i in range(n):
+            v = np.float32(rng.uniform(0.5, 3.5))
+            inv.add(i, np.asarray([7, 9]), np.asarray([v, v]))
+        inv.flush()
+        inv._build_csr()
+        saved = inv.SCAN_BUDGET
+        inv.SCAN_BUDGET = 1024
+        try:
+            segs = inv._query_segments([(7, 4.0), (9, 0.4)])
+            total = sum(l for _, l, _ in segs)
+            assert total <= inv.SCAN_BUDGET + inv.SEGCAP
+            hi = sum(l for s, l, m in segs if m >= 32)
+            lo = sum(l for s, l, m in segs if m < 32)
+            assert hi > lo, (hi, lo)
+        finally:
+            inv.SCAN_BUDGET = saved
+
+    @pytest.mark.fast
     def test_early_terminate_threshold_scaled_by_maxval(self):
         """threshold=1.0 means 'scan only the TOP bucket' — the old cutoff
         used 2^bits (one above the max bucket), cutting even top-bucket
