@@ -437,28 +437,58 @@ class InvertedIndex:
     MAX_DIM_POSTINGS = 16384
 
     @staticmethod
-    def _waterfill(lengths, budget, segcap, maxper) -> list[int]:
-        """Distribute a total posting budget over posting lists.
+    def _impact_alloc(weights, sorted_vals, lengths, budget, segcap, maxper):
+        """Budget-feasible per-list prefix lengths keeping the globally
+        highest-IMPACT postings.
 
-        Short lists take their full length; the slack they leave
-        redistributes to the longer lists (water-filling), instead of every
-        list getting the same `budget // n` cap — a uniform cap strands
-        budget on short rare-term lists while truncating exactly the
-        head-term lists where cut postings cost recall. Each list is
-        guaranteed one segment and capped at `maxper`; allocations are
-        rounded to segment multiples."""
-        n = len(lengths)
-        alloc = [0] * n
-        rem = budget
-        m = n
-        for i in sorted(range(n), key=lambda j: lengths[j]):
-            fair = max(rem // m, segcap)
-            li = min(lengths[i], maxper)
-            if li > fair:
-                li = max(min(fair - fair % segcap, maxper), segcap)
-            alloc[i] = li
-            rem -= li
-            m -= 1
+        A posting's score contribution is weight_i * value (qqv*bucket for
+        sparse, idf*tf for BM25); `sorted_vals[i]` is descending, so
+        "impact >= T" is a per-list prefix cut at value >= T/weight_i.
+        Binary-search the largest budget-feasible threshold T — the
+        greedy-optimal truncation frontier across lists (the reference's
+        early-termination principle, sparse_ann_query.rs:89-126, made
+        exact) — instead of allocating per-list LENGTHS blind to query
+        weights. Leftover budget is spent round-robin in list order, one
+        segcap chunk at a time."""
+        if sum(min(l, maxper) for l in lengths) <= budget:
+            return [min(l, maxper) for l in lengths]
+        heads = [
+            w * float(v[0]) for w, v in zip(weights, sorted_vals) if len(v)
+        ]
+        lo, hi = 0.0, (max(heads) if heads else 0.0) + 1.0
+        alloc = [min(l, maxper) for l in lengths]
+        for _ in range(24):
+            mid = (lo + hi) / 2
+            total = 0
+            cuts = []
+            for w, v, l in zip(weights, sorted_vals, lengths):
+                if w <= 0.0:
+                    cuts.append(0)
+                    continue
+                c = int(np.searchsorted(-v, -(mid / w), side="right"))
+                c = min(c, l, maxper)
+                cuts.append(c)
+                total += c
+            if total <= budget:
+                alloc = cuts
+                hi = mid
+            else:
+                lo = mid
+        rem = budget - sum(alloc)
+        while rem >= 1:
+            grew = False
+            for i in range(len(alloc)):
+                cap = min(lengths[i], maxper)
+                if alloc[i] < cap:
+                    step = min(segcap, cap - alloc[i], rem)
+                    if step > 0:
+                        alloc[i] += step
+                        rem -= step
+                        grew = True
+                if rem < 1:
+                    break
+            if not grew:
+                break
         return alloc
 
     def _query_segments(self, pairs) -> list[tuple[int, int, float]]:
@@ -500,51 +530,10 @@ class InvertedIndex:
                 buckets = buckets[:length]
             eff_lens.append(length)
             blists.append(buckets)
-        if sum(eff_lens) <= self.SCAN_BUDGET:
-            alloc = [min(l, self.MAX_DIM_POSTINGS) for l in eff_lens]
-        else:
-            # budget binds: keep the globally highest-IMPACT postings.
-            # A posting's score contribution is qqv_d * bucket; postings are
-            # bucket-descending per dim, so "impact >= T" is a per-dim
-            # prefix cut at bucket >= T/qqv_d. Binary-search the largest
-            # budget-feasible threshold T — the greedy-optimal truncation
-            # frontier across dims (the reference's early-termination
-            # principle, sparse_ann_query.rs:89-126, made exact), instead
-            # of allocating per-dim LENGTHS blind to query values.
-            qqvs = [q for _, q, _ in present]
-            lo, hi = 0.0, float(max(qqvs)) * float(self.maxval) + 1.0
-            alloc = [min(l, self.MAX_DIM_POSTINGS) for l in eff_lens]
-            for _ in range(24):
-                mid = (lo + hi) / 2
-                total = 0
-                cuts = []
-                for q, b, l in zip(qqvs, blists, eff_lens):
-                    c = int(np.searchsorted(-b, -(mid / q), side="right"))
-                    c = min(c, l, self.MAX_DIM_POSTINGS)
-                    cuts.append(c)
-                    total += c
-                if total <= self.SCAN_BUDGET:
-                    alloc = cuts
-                    hi = mid
-                else:
-                    lo = mid
-            # spend any leftover budget on the still-truncated dims in
-            # descending-qqv order (one SEGCAP chunk at a time)
-            rem = self.SCAN_BUDGET - sum(alloc)
-            while rem >= 1:
-                grew = False
-                for i in range(len(alloc)):
-                    cap = min(eff_lens[i], self.MAX_DIM_POSTINGS)
-                    if alloc[i] < cap:
-                        step = min(self.SEGCAP, cap - alloc[i], rem)
-                        if step > 0:
-                            alloc[i] += step
-                            rem -= step
-                            grew = True
-                    if rem < 1:
-                        break
-                if not grew:
-                    break
+        alloc = self._impact_alloc(
+            [float(q) for _, q, _ in present], blists, eff_lens,
+            self.SCAN_BUDGET, self.SEGCAP, self.MAX_DIM_POSTINGS,
+        )
         segs: list[tuple[int, int, float]] = []
         total = 0
         for (dim, qqv, (start, _)), length in zip(present, alloc):

@@ -75,6 +75,7 @@ class TFIDFIndex:
         self._csr_dirty = True
         self._df_dirty = False
         self._csr_ids = None
+        self._h_tfs = np.zeros(0, np.float32)
         self._csr_vals = None
         self._csr_range: dict[int, tuple[int, int]] = {}
         self._live_df: dict[int, int] = {}
@@ -238,8 +239,12 @@ class TFIDFIndex:
         for t, term in enumerate(terms):
             self._csr_range[term] = (pos, term_lens[t])
             pos += term_lens[t]
+        # host copy of the per-term tf-descending values: the scan-budget
+        # allocator cuts each term's postings at tf >= T/idf (impact
+        # thresholding) and needs host-side searchsorted over them
+        self._h_tfs = flat_tfs[order]
         self._csr_ids = jnp.asarray(flat_ids[order])
-        self._csr_vals = jnp.asarray(flat_tfs[order])
+        self._csr_vals = jnp.asarray(self._h_tfs)
         self._csr_dirty = False
 
     def search(self, queries: list[str], top_k: int = 10) -> tuple[np.ndarray, np.ndarray]:
@@ -275,22 +280,25 @@ class TFIDFIndex:
                     continue
                 present.append((term, rng))
             # per-query scan budget over the present terms: postings are
-            # tf-descending, so the cut keeps the strongest per-term
-            # candidates. Budget is water-filled — rare (short-list) terms
-            # take their full postings and their slack flows to the
-            # head-term lists, instead of a uniform budget//n cap that
-            # strands budget on the rare terms while over-truncating the
-            # frequent ones (see InvertedIndex._waterfill).
+            # tf-descending, so each term's cut keeps its strongest
+            # candidates. The budget is allocated by IMPACT (idf * tf)
+            # thresholding across terms — rare high-idf terms keep their
+            # full short lists, and head-term lists are cut exactly at the
+            # globally weakest contributions (see
+            # InvertedIndex._impact_alloc), not at a uniform budget//n cap.
             from cosdata_tpu.indexes.inverted import InvertedIndex
 
-            alloc = InvertedIndex._waterfill(
-                [rng[1] for _, rng in present],
+            idfs = []
+            tf_slices = []
+            for term, (start, length) in present:
+                df = self._live_df.get(term, length)
+                idfs.append(get_idf(self.live_documents, df))
+                tf_slices.append(self._h_tfs[start : start + length])
+            alloc = InvertedIndex._impact_alloc(
+                idfs, tf_slices, [rng[1] for _, rng in present],
                 self.SCAN_BUDGET, self.SEGCAP, self.MAX_TERM_POSTINGS,
             ) if present else []
-            for (term, (start, length)), cap in zip(present, alloc):
-                df = self._live_df.get(term, length)
-                idf = get_idf(self.live_documents, df)
-                length = min(length, cap)
+            for (term, (start, _)), idf, length in zip(present, idfs, alloc):
                 for off in range(0, length, self.SEGCAP):
                     segs.append(
                         (start + off, min(self.SEGCAP, length - off), idf)

@@ -332,18 +332,31 @@ class TestSamplingEdges:
         assert (np.asarray(ids[0]) >= 0).any()
 
     @pytest.mark.fast
-    def test_waterfill_redistributes_short_list_slack(self):
-        """Short lists take their full length; their slack flows to the
-        long lists instead of everyone getting budget//n."""
-        alloc = InvertedIndex._waterfill([10, 10, 1000, 1000], 500, 16, 1 << 30)
+    def test_impact_alloc_redistributes_short_list_slack(self):
+        """Equal-weight lists: short lists take their full length and
+        their slack flows to the long lists instead of everyone getting
+        budget//n."""
+        vals = [
+            np.full(10, 5, np.int64), np.full(10, 5, np.int64),
+            np.full(1000, 5, np.int64), np.full(1000, 5, np.int64),
+        ]
+        alloc = InvertedIndex._impact_alloc(
+            [1.0] * 4, vals, [10, 10, 1000, 1000], 500, 16, 1 << 30
+        )
         assert alloc[0] == 10 and alloc[1] == 10
-        # uniform would cap the long lists at 125; waterfill gives each
-        # (500-20)//2 = 240 rounded down to a 16-multiple
-        assert alloc[2] >= 224 and alloc[3] >= 224
+        # uniform budget//n would cap the long lists at 125
+        assert alloc[2] + alloc[3] >= 500 - 20 - 16
         assert sum(alloc) <= 500
-        # caps and floors hold
-        alloc = InvertedIndex._waterfill([5000], 100, 16, 64)
+        # per-list cap holds
+        alloc = InvertedIndex._impact_alloc(
+            [1.0], [np.full(5000, 5, np.int64)], [5000], 100, 16, 64
+        )
         assert alloc == [64]
+        # under-budget: everything kept
+        alloc = InvertedIndex._impact_alloc(
+            [1.0, 2.0], [np.full(8, 5, np.int64)] * 2, [8, 8], 500, 16, 64
+        )
+        assert alloc == [8, 8]
 
     @pytest.mark.fast
     def test_impact_threshold_favors_high_value_dims(self):
