@@ -434,6 +434,10 @@ class InvertedIndex:
     #: docs; raise it (or enable rerank_sparse_with_raw_values) for
     #: maximum-fidelity scoring.
     SCAN_BUDGET = 65536
+    #: total postings per DISPATCH — small batches split this among fewer
+    #: queries, so a lone REST query scans up to 4M postings (near-oracle)
+    #: at the same device workspace as a 64-query batch at 64k each
+    SCAN_BUDGET_TOTAL = 64 * 65536
     MAX_DIM_POSTINGS = 16384
 
     @staticmethod
@@ -491,7 +495,19 @@ class InvertedIndex:
                 break
         return alloc
 
-    def _query_segments(self, pairs) -> list[tuple[int, int, float]]:
+    def _effective_budget(self, batch: int) -> int:
+        """Per-query scan budget for a dispatch of `batch` queries.
+
+        The device workspace is batch x budget postings (the scoring
+        kernel query-chunks to a fixed footprint either way), so what is
+        actually bounded is the TOTAL scan per dispatch. Small dispatches
+        — the REST single-query path above all — can therefore afford a
+        far larger per-query budget at the same device cost: a lone query
+        scans near-oracle while a 64-query batch keeps today's per-query
+        bound. SCAN_BUDGET stays the floor so large batches are unchanged."""
+        return max(self.SCAN_BUDGET, self.SCAN_BUDGET_TOTAL // max(batch, 1))
+
+    def _query_segments(self, pairs, budget=None) -> list[tuple[int, int, float]]:
         """One query -> [(start, len, multiplier)] segment descriptors with
         early termination applied; long dims split into SEGCAP segments.
 
@@ -500,6 +516,8 @@ class InvertedIndex:
         early-termination principle) and segment emission stops once the
         budget is exhausted — the old per-dim floor let an adversarial
         many-dim query gather 512 x n_dims postings, unbounded."""
+        if budget is None:
+            budget = self.SCAN_BUDGET
         # scale thresholds by the actual max bucket (maxval), not 2^bits —
         # a threshold of 1.0 with quantization=64 computed a cutoff of 64,
         # above every stored bucket (max 63), cutting ALL postings
@@ -530,14 +548,18 @@ class InvertedIndex:
                 buckets = buckets[:length]
             eff_lens.append(length)
             blists.append(buckets)
+        # the per-dim cap scales with the budget: at an elevated
+        # (small-batch) budget a 16k per-dim ceiling would silently keep
+        # the scan truncated even with budget to spare
+        maxper = max(self.MAX_DIM_POSTINGS, budget // 8)
         alloc = self._impact_alloc(
             [float(q) for _, q, _ in present], blists, eff_lens,
-            self.SCAN_BUDGET, self.SEGCAP, self.MAX_DIM_POSTINGS,
+            budget, self.SEGCAP, maxper,
         )
         segs: list[tuple[int, int, float]] = []
         total = 0
         for (dim, qqv, (start, _)), length in zip(present, alloc):
-            if total >= self.SCAN_BUDGET and segs:
+            if total >= budget and segs:
                 break  # budget exhausted; lowest-value dims dropped
             for off in range(0, length, self.SEGCAP):
                 seg_len = min(self.SEGCAP, length - off)
@@ -568,7 +590,8 @@ class InvertedIndex:
         if self._alive_dev is None:
             self._alive_dev = jnp.asarray(self._alive)
         k_fetch = min(top_k * (rerank_factor if rerank else 1), self.n_cap)
-        seg_lists = [self._query_segments(q) for q in queries]
+        budget = self._effective_budget(b)
+        seg_lists = [self._query_segments(q, budget) for q in queries]
         maxd = max(
             _PAD_MIN // 16, _next_pow2(max(len(s) for s in seg_lists))
         )

@@ -84,6 +84,9 @@ class TFIDFIndex:
         #: _build_csr: postings are tf-descending so the cut keeps the
         #: strongest candidates)
         self.SCAN_BUDGET = 65536
+        #: total postings per DISPATCH (see InvertedIndex._effective_budget
+        #: — small batches split this among fewer queries)
+        self.SCAN_BUDGET_TOTAL = 64 * 65536
         self.MAX_TERM_POSTINGS = 16384
         #: dead fraction that triggers posting compaction at flush
         COMPACT = 0.25
@@ -294,9 +297,16 @@ class TFIDFIndex:
                 df = self._live_df.get(term, length)
                 idfs.append(get_idf(self.live_documents, df))
                 tf_slices.append(self._h_tfs[start : start + length])
+            # batch-adaptive budget: a lone query affords the whole
+            # dispatch workspace (InvertedIndex._effective_budget), and
+            # the per-term ceiling scales with it
+            budget = max(
+                self.SCAN_BUDGET, self.SCAN_BUDGET_TOTAL // max(b, 1)
+            )
             alloc = InvertedIndex._impact_alloc(
                 idfs, tf_slices, [rng[1] for _, rng in present],
-                self.SCAN_BUDGET, self.SEGCAP, self.MAX_TERM_POSTINGS,
+                budget, self.SEGCAP,
+                max(self.MAX_TERM_POSTINGS, budget // 8),
             ) if present else []
             for (term, (start, _)), idf, length in zip(present, idfs, alloc):
                 for off in range(0, length, self.SEGCAP):

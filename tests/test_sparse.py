@@ -359,6 +359,19 @@ class TestSamplingEdges:
         assert alloc == [8, 8]
 
     @pytest.mark.fast
+    def test_effective_budget_scales_with_batch(self):
+        """A lone query affords the whole dispatch workspace; a 64+ query
+        batch keeps the per-query floor."""
+        inv = InvertedIndex(quantization=64, values_upper_bound=4.0)
+        assert inv._effective_budget(1) == inv.SCAN_BUDGET_TOTAL
+        assert inv._effective_budget(8) == inv.SCAN_BUDGET_TOTAL // 8
+        assert inv._effective_budget(64) == inv.SCAN_BUDGET
+        assert inv._effective_budget(256) == inv.SCAN_BUDGET
+        # the bench's oracle override (SCAN_BUDGET = huge) still wins
+        inv.SCAN_BUDGET = 1 << 30
+        assert inv._effective_budget(64) == 1 << 30
+
+    @pytest.mark.fast
     def test_impact_threshold_favors_high_value_dims(self):
         """When the budget binds, postings are kept by qqv*bucket impact:
         a high-value query dim keeps more of its long list than a
