@@ -434,6 +434,20 @@ def main():
             len(set(map(int, ids[j])) & set(map(int, ids_ex[j]))) / k
             for j in range(len(queries))
         ])
+        # single-query (served light-load) operating point: the
+        # batch-adaptive budget elevates a lone dispatch to the whole
+        # 4M-posting workspace (indexes/inverted.py _effective_budget)
+        n1 = 8
+        ids1 = []
+        inv.search([queries[0]], top_k=k)  # compile the b=1 shape
+        t0 = time.time()
+        for q1 in queries[:n1]:
+            ids1.append(inv.search([q1], top_k=k)[0][0])
+        sp_lat1 = (time.time() - t0) / n1
+        sp_b1_vs_exact = np.mean([
+            len(set(map(int, ids1[j])) & set(map(int, ids_ex[j]))) / k
+            for j in range(n1)
+        ])
         out["sparse"] = {
             "n_docs": sn,
             "ingest_dps": round(sp_ingest, 1),
@@ -442,6 +456,8 @@ def main():
             "qps_b256": round(sp_qps_big, 1),
             "self_recall": round(float(self_hit), 3),
             "recall_vs_exact": round(float(sp_vs_exact), 3),
+            "b1_latency_ms": round(sp_lat1 * 1000, 1),
+            "b1_recall_vs_exact": round(float(sp_b1_vs_exact), 3),
         }
         del inv
     except Exception:
