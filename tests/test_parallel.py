@@ -117,3 +117,34 @@ class TestShardedHNSW:
         idx.delete(5)
         ids, _ = idx.search(x[5], top_k=5)
         assert 5 not in ids[0]
+
+    def test_quaternary_sharded_build_and_query(self, mesh):
+        """The DEEP-100M-style operating point (BASELINE.json config #5):
+        quaternary 2-bit storage, sharded build + batched query. The
+        per-shard HNSW stores bitplanes; scoring goes through the packed
+        sub-byte kernels."""
+        from cosdata_tpu.parallel.sharded_hnsw import ShardedHNSWIndex
+        from cosdata_tpu.indexes.flat import FlatIndex
+        from cosdata_tpu.indexes.hnsw import HNSWParams
+        import jax
+
+        d, n, nq, k = 64, 1200, 8, 10
+        x = _unit(n, d, 9)
+        q = x[:nq]
+        flat = FlatIndex(dim=d, kind="f32")
+        flat.add(x)
+        true_ids, _ = flat.search(q, top_k=k)
+        idx = ShardedHNSWIndex(
+            dim=d, devices=jax.devices()[:4], kind="quaternary",
+            params=HNSWParams(num_layers=2, wave_size=128,
+                              ef_construction=48, ef_search=96,
+                              max_iters=32),
+            initial_capacity_per_shard=512,
+        )
+        idx.add(x)
+        got, _ = idx.search(q, top_k=k)
+        hits = sum(
+            len(set(map(int, t)) & set(map(int, g)))
+            for t, g in zip(true_ids, got)
+        )
+        assert hits / (nq * k) >= 0.85, hits / (nq * k)
