@@ -267,6 +267,9 @@ class Server:
             body.get("quantization"),
             params,
             body.get("raw_storage", "device"),
+            # multi-chip sharded engine (extension knob; defaults to the
+            # collection config's `shards`)
+            body.get("shards"),
         )
         self.ctx._persist_index_descriptors(coll)
         return web.json_response(desc, status=201)
@@ -280,6 +283,10 @@ class Server:
             body.get("quantization", 64),
             body.get("sample_threshold", 1000),
             body.get("early_terminate_threshold", 0.0),
+            # extension knobs: pin posting-scan budgets per collection
+            # (both equal -> deterministic quality under any batch size)
+            body.get("scan_budget"),
+            body.get("scan_budget_total"),
         )
         self.ctx._persist_index_descriptors(coll)
         return web.json_response(desc, status=201)
@@ -293,6 +300,8 @@ class Server:
             body.get("k1", 1.2),
             body.get("b", 0.75),
             body.get("sample_threshold", 1000),
+            body.get("scan_budget"),
+            body.get("scan_budget_total"),
         )
         self.ctx._persist_index_descriptors(coll)
         return web.json_response(desc, status=201)

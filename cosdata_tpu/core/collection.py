@@ -75,8 +75,13 @@ class DenseIndexHandle:
         hnsw_params: dict | None = None,
         seed: int = 0,
         raw_storage: str = "device",
+        shards: int = 1,
     ):
         quantization = quantization or {"type": "auto", "sample_threshold": 100}
+        #: shards > 1 = the multi-chip serving configuration (SURVEY §2.8/§5
+        #: distributed backend): the engine becomes a ShardedHNSWIndex whose
+        #: per-device sub-indexes serve fan-out searches over the mesh
+        self.shards = max(int(shards or 1), 1)
         self.descriptor = {
             "index_type": "dense",
             "distance_metric": distance_metric,
@@ -84,6 +89,8 @@ class DenseIndexHandle:
             "hnsw_params": hnsw_params or {},
             "raw_storage": raw_storage,
         }
+        if self.shards > 1:
+            self.descriptor["shards"] = self.shards
         #: where exact (raw f32) rows live: "device" = HBM (fused rerank),
         #: "host" = host RAM (beyond-HBM degradation path — the role of the
         #: reference's lazy cache_loader.rs), "disk" = memory-mapped file
@@ -184,6 +191,22 @@ class DenseIndexHandle:
         # when the tunneled link is slow, f32 when it's fast and the 1-core
         # host quantize would dominate (VectorStore ship_dtype="auto")
         ship = "auto"
+        if self.shards > 1:
+            from cosdata_tpu.parallel.sharded_hnsw import ShardedHNSWIndex
+
+            self.index = ShardedHNSWIndex(
+                dim=self.dimension,
+                n_shards=self.shards,
+                metric=self.metric,
+                kind=self.kind,
+                resolution=self.resolution,
+                range_=self.range,
+                params=self.params,
+                seed=self.seed,
+                keep_raw=self.keep_raw,
+                ship_dtype=ship,
+            )
+            return
         self.index = HNSWIndex(
             dim=self.dimension,
             metric=self.metric,
@@ -259,6 +282,10 @@ class DenseIndexHandle:
         idx = self.index
         if idx is None or idx.n == 0:
             return
+        if getattr(idx, "is_sharded", False):
+            # sharded engines tombstone only; a cross-shard rebuild is a
+            # reshard (operator action), not a flush-time side effect
+            return
         if idx.n_deleted / idx.n < self.COMPACT_THRESHOLD:
             return
         if not idx.store.keep_raw:
@@ -318,7 +345,14 @@ class DenseIndexHandle:
         # NOTE: finalize-only — compaction is a flush/background concern and
         # must never run inside a user search request (VERDICT r1 weak #2)
         self.finalize_sampling()
-        if row_mask is None and (
+        if getattr(self.index, "is_sharded", False):
+            # sharded engine owns per-shard engine selection + mask
+            # translation (parallel/sharded_hnsw.py); masked searches run
+            # the exact masked scan on every shard
+            rows, scores = self.index.search(
+                queries, top_k=top_k, ef=ef, row_mask=row_mask
+            )
+        elif row_mask is None and (
             self.index.n <= self.flat_serve_threshold or self.index.scan_only
         ):
             # engine selection: below the crossover the exact chunked MXU
@@ -439,25 +473,38 @@ class Collection:
 
     def create_dense_index(
         self, distance_metric="cosine", quantization=None, hnsw_params=None,
-        raw_storage="device",
+        raw_storage="device", shards=None,
     ):
+        """``shards`` > 1 selects the multi-chip sharded engine; defaults
+        to the collection-level ``config.shards`` knob (the TPU-native
+        materialization of the reference's accepted-but-unused
+        replication_factor, models/collection.rs:52)."""
         with self.lock:
             if not self.dense_vector.get("enabled"):
                 raise ValueError("dense vectors not enabled for this collection")
             if self.dense is not None:
                 raise ValueError("dense index already exists")
+            if shards is None:
+                shards = (self.config.get("config") or {}).get("shards", 1)
             self.dense = DenseIndexHandle(
                 dimension=int(self.dense_vector["dimension"]),
                 distance_metric=distance_metric,
                 quantization=quantization,
                 hnsw_params=hnsw_params,
                 raw_storage=raw_storage,
+                shards=shards,
             )
             self._persist_descriptors()
             return self.dense.descriptor
 
     def create_sparse_index(self, quantization: int = 64, sample_threshold: int = 1000,
-                            early_terminate_threshold: float = 0.0):
+                            early_terminate_threshold: float = 0.0,
+                            scan_budget: int | None = None,
+                            scan_budget_total: int | None = None):
+        """``scan_budget``/``scan_budget_total`` pin the posting-scan
+        budgets per collection (extension knobs; pinning both to the same
+        value makes served quality independent of dispatch batch size —
+        the batch-adaptive default gives lone queries a bigger budget)."""
         with self.lock:
             if not self.sparse_vector.get("enabled"):
                 raise ValueError("sparse vectors not enabled for this collection")
@@ -467,27 +514,41 @@ class Collection:
                 quantization=quantization,
                 sample_threshold=sample_threshold,
                 early_terminate_threshold=early_terminate_threshold,
+                scan_budget=scan_budget,
+                scan_budget_total=scan_budget_total,
             )
             self.sparse_descriptor = {
                 "index_type": "sparse",
                 "quantization": quantization,
                 "sample_threshold": sample_threshold,
             }
+            if scan_budget is not None:
+                self.sparse_descriptor["scan_budget"] = int(scan_budget)
+            if scan_budget_total is not None:
+                self.sparse_descriptor["scan_budget_total"] = int(scan_budget_total)
             self._persist_descriptors()
             return self.sparse_descriptor
 
     def create_tf_idf_index(self, k1: float = 1.2, b: float = 0.75,
-                            sample_threshold: int = 1000):
+                            sample_threshold: int = 1000,
+                            scan_budget: int | None = None,
+                            scan_budget_total: int | None = None):
         with self.lock:
             if not self.tf_idf_options.get("enabled"):
                 raise ValueError("tf-idf not enabled for this collection")
             if self.tfidf is not None:
                 raise ValueError("tf-idf index already exists")
-            self.tfidf = TFIDFIndex(k1=k1, b=b, sample_threshold=sample_threshold)
+            self.tfidf = TFIDFIndex(k1=k1, b=b, sample_threshold=sample_threshold,
+                                    scan_budget=scan_budget,
+                                    scan_budget_total=scan_budget_total)
             self.tfidf_descriptor = {
                 "index_type": "tf_idf", "k1": k1, "b": b,
                 "sample_threshold": sample_threshold,
             }
+            if scan_budget is not None:
+                self.tfidf_descriptor["scan_budget"] = int(scan_budget)
+            if scan_budget_total is not None:
+                self.tfidf_descriptor["scan_budget_total"] = int(scan_budget_total)
             self._persist_descriptors()
             return self.tfidf_descriptor
 
@@ -1073,17 +1134,22 @@ class Collection:
                         quantization=desc.get("quantization"),
                         hnsw_params=desc.get("hnsw_params"),
                         raw_storage=desc.get("raw_storage", "device"),
+                        shards=desc.get("shards", 1),
                     )
                 elif t == "sparse" and self.sparse is None:
                     self.create_sparse_index(
                         quantization=desc.get("quantization", 64),
                         sample_threshold=desc.get("sample_threshold", 1000),
+                        scan_budget=desc.get("scan_budget"),
+                        scan_budget_total=desc.get("scan_budget_total"),
                     )
                 elif t == "tf_idf" and self.tfidf is None:
                     self.create_tf_idf_index(
                         k1=desc.get("k1", 1.2),
                         b=desc.get("b", 0.75),
                         sample_threshold=desc.get("sample_threshold", 1000),
+                        scan_budget=desc.get("scan_budget"),
+                        scan_budget_total=desc.get("scan_budget_total"),
                     )
             except ValueError:
                 pass  # index type disabled for this collection config
@@ -1175,7 +1241,10 @@ class Collection:
         if d is not None and d.index is not None and d.index.store.keep_raw:
             row = d.row_of.get(iid)
             if row is not None:
-                vals = d.index.store.raw_rows(np.asarray([row]))[0]
+                if getattr(d.index, "is_sharded", False):
+                    vals = d.index.raw_rows(np.asarray([row]))[0]
+                else:
+                    vals = d.index.store.raw_rows(np.asarray([row]))[0]
                 out["dense_values"] = [float(x) for x in vals]
         if self.sparse is not None:
             pairs = self.sparse.raw_pairs(iid)

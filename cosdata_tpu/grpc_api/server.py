@@ -20,9 +20,9 @@ from cosdata_tpu.grpc_api import vector_service_pb2 as pb
 
 log = logging.getLogger(__name__)
 
-# NB: the reference enables tonic server reflection (grpc/server.rs:24-44);
-# grpcio-reflection is not available in this image, so reflection is gated
-# off — clients use the vendored proto/vector_service.proto instead.
+# Server reflection (grpc/server.rs:24-44 parity): grpcio-reflection is not
+# in this image, so the v1alpha protocol is hand-implemented over the
+# generated descriptor pool — see cosdata_tpu/grpc_api/reflection.py.
 
 _PKG = "vector_service"
 
@@ -436,6 +436,15 @@ def build_server(
         handlers.append(
             grpc.method_handlers_generic_handler(f"{_PKG}.{service}", rpc)
         )
+    # server reflection (grpc/server.rs:24-44 parity) — hand-implemented
+    # v1alpha protocol over the generated descriptor pool (reflection.py)
+    from cosdata_tpu.grpc_api.reflection import reflection_handler
+
+    handlers.append(
+        reflection_handler(
+            [f"{_PKG}.{service}" for service in _SERVICE_METHODS]
+        )
+    )
     server.add_generic_rpc_handlers(tuple(handlers))
     if address is None:
         address = f"{ctx.config.grpc.host}:{ctx.config.grpc.port}"

@@ -117,6 +117,28 @@ class FlatIndex:
                 np.full((b, top_k), -1, np.int64),
                 np.full((b, top_k), -np.inf, np.float32),
             )
+        if self.store.codes_on_host:
+            # beyond-HBM spill tier: stream host code chunks through the
+            # device scan (see VectorStore._spill_codes_to_host)
+            from cosdata_tpu.ops.flat_scan import streamed_flat_topk
+
+            cached = getattr(self, "_host_mask_cache", None)
+            key = (self.store.n, self.store.capacity)
+            if cached is None or cached[0] != key or cached[1] is not self.alive:
+                valid_np = np.zeros(self.store.capacity, bool)
+                valid_np[: self.store.n] = True
+                valid_np &= np.asarray(self.alive)[: self.store.capacity]
+                cached = (key, self.alive, valid_np)
+                self._host_mask_cache = cached
+            k_fetch = min(
+                top_k * rerank_factor if rerank else top_k,
+                self.store.capacity,
+            )
+            top_s, top_i = streamed_flat_topk(
+                self.store.metric, self.store, queries, k_fetch, cached[2]
+            )
+            ids = jnp.where(top_s > NEG_INF / 2, top_i, -1)
+            return ids, top_s
         mask = self._mask()
         k_fetch = min(
             top_k * rerank_factor if rerank else top_k, self.store.capacity
@@ -136,6 +158,20 @@ class FlatIndex:
                 mask = self._mask()
             kind = "float" if self.store.kind in ("f16", "f32") else self.store.kind
             do_rerank = bool(rerank and self.store.keep_raw is True)
+            from cosdata_tpu.ops.storage import use_codes_engine
+
+            if use_codes_engine(self.store):
+                from cosdata_tpu.ops.flat_scan import fused_flat_search_codes
+
+                qc = self.store.ship_query_codes(queries)
+                raw = self.store._raw if do_rerank else qc.data
+                group = 32
+                k_bins = max(64, -(-k_fetch // group) * 2)
+                return fused_flat_search_codes(
+                    self.store.metric, self.store.dim, self.store.dim_pad,
+                    k_bins, group, k_fetch, top_k, self.SCAN_CHUNK,
+                    do_rerank, qc, self.store._arrays, raw, mask,
+                )
             q_raw = self.store.ship_queries(queries)
             raw = self.store._raw if do_rerank else q_raw
             return fused_flat_search(

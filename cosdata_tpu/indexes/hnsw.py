@@ -416,11 +416,20 @@ class HNSWIndex:
             return
         new_cap = self.store.capacity
         grow = new_cap - self.cap
-        self.adj0 = jnp.pad(self.adj0, ((0, grow), (0, 0)), constant_values=-1)
-        self.adj0_d = jnp.pad(self.adj0_d, ((0, grow), (0, 0)), constant_values=NEG_INF)
-        self.up_slot = jnp.pad(self.up_slot, ((0, grow),), constant_values=-1)
+        spilled = self._maybe_spill_to_scan_only() and self.store.codes_on_host
+        if not spilled:
+            # scan-only mode never touches adjacency: padding it to a
+            # beyond-HBM capacity would allocate the very HBM the spill
+            # just freed
+            self.adj0 = jnp.pad(self.adj0, ((0, grow), (0, 0)), constant_values=-1)
+            self.adj0_d = jnp.pad(self.adj0_d, ((0, grow), (0, 0)), constant_values=NEG_INF)
+            self.up_slot = jnp.pad(self.up_slot, ((0, grow),), constant_values=-1)
+            self.alive = jnp.pad(self.alive, ((0, grow),), constant_values=True)
+        else:
+            self._alive_host = np.pad(
+                self._alive_host, ((0, grow),), constant_values=True
+            )
         self.up_slot_host = np.pad(self.up_slot_host, ((0, grow),), constant_values=-1)
-        self.alive = jnp.pad(self.alive, ((0, grow),), constant_values=True)
         self.levels = np.pad(self.levels, ((0, grow),))
         self.cap = new_cap
 
@@ -478,7 +487,38 @@ class HNSWIndex:
         out = []
         for i in range(0, len(x), self.params.wave_size):
             out.append(self._add_wave(x[i : i + self.params.wave_size]))
+            if self.scan_only:
+                # mid-add spill to the host-streamed tier: remaining waves
+                # take the scan-only ingest path (no graph work)
+                rest = x[i + self.params.wave_size :]
+                if len(rest):
+                    ids = self.store.add(rest)
+                    self._sync_capacity()
+                    self.level_counts[0] += len(ids)
+                    out.append(np.asarray(ids, np.int64))
+                break
         return np.concatenate(out) if out else np.empty((0,), np.int64)
+
+    def _maybe_spill_to_scan_only(self) -> bool:
+        """Past-HBM growth spilled the quantized codes to host RAM
+        (VectorStore._spill_codes_to_host): flip to scan-only serving —
+        the streamed exact scan replaces graph traversal (better results;
+        the graph's HBM-resident gathers are gone anyway) — and free the
+        adjacency HBM."""
+        if not self.store.codes_on_host or self.scan_only:
+            return self.scan_only
+        self.scan_only = True
+        # tombstones move to a host mirror (the device copy is freed with
+        # the rest of the graph state)
+        self._alive_host = np.asarray(self.alive)
+        self.alive = jnp.ones((1,), bool)
+        p = self.params
+        self.adj0 = jnp.full((1, p.level_0_neighbors_count), -1, jnp.int32)
+        self.adj0_d = jnp.full((1, p.level_0_neighbors_count), NEG_INF, jnp.float32)
+        self.up_adj = jnp.full((1, p.num_layers, p.neighbors_count), -1, jnp.int32)
+        self.up_d = jnp.full((1, p.num_layers, p.neighbors_count), NEG_INF, jnp.float32)
+        self.cap_up = 1
+        return True
 
     def bulk_build(self, x: np.ndarray) -> np.ndarray:
         """Build the whole graph from *exact* k-nearest-neighbor lists.
@@ -502,6 +542,13 @@ class HNSWIndex:
         self._sync_capacity()
         ingest_s = time.time() - t0
         _blog(f"store.add {len(ids)} rows: {ingest_s:.1f}s")
+        if self.scan_only:
+            # ingest spilled codes to the host tier: serve scan-only
+            self.level_counts[0] += len(ids)
+            if self.entry < 0 and len(ids):
+                self.entry, self.entry_level = int(ids[0]), 0
+            self.last_build_stats = {"ingest_s": round(ingest_s, 1), "graph_s": 0.0}
+            return np.asarray(ids, np.int64)
         t_graph0 = time.time()
         n = len(ids)
 
@@ -909,6 +956,11 @@ class HNSWIndex:
         n0 = self.store.n
         ids = self.store.add(x)
         self._sync_capacity()
+        if self.scan_only:  # ingest spilled codes to the host tier
+            self.level_counts[0] += len(ids)
+            if self.entry < 0 and len(ids):
+                self.entry, self.entry_level = int(ids[0]), 0
+            return np.asarray(ids, np.int64)
         w = len(ids)
         # pad the *search-side* arrays to a power-of-two wave width so waves
         # hit a bounded set of compiled kernels (padded rows ignored on write)
@@ -1294,6 +1346,8 @@ class HNSWIndex:
         mask: np.ndarray | None = None,
         rerank: bool = True,
     ) -> tuple[np.ndarray, np.ndarray]:
+        if self.store.codes_on_host:
+            return self._search_streamed(queries, top_k, mask, rerank)
         host_rerank = rerank and self.store.raw_on_host
         # never fetch fewer than top_k columns: the device scan pads with
         # -1 past n, keeping the (B, top_k) output contract on tiny indexes
@@ -1360,6 +1414,21 @@ class HNSWIndex:
                     m = np.zeros(self.cap, bool)
                     m[: len(mask)] = mask
                     valid = valid & jnp.asarray(m)
+            from cosdata_tpu.ops.storage import use_codes_engine
+
+            if use_codes_engine(self.store):
+                from cosdata_tpu.ops.flat_scan import fused_flat_search_codes
+
+                qc = self.store.ship_query_codes(queries)
+                raw = self.store._raw if do_rerank else qc.data
+                group = 32
+                k_bins = max(64, -(-keep // group) * 2)
+                ids, vals = fused_flat_search_codes(
+                    self.store.metric, self.store.dim, self.store.dim_pad,
+                    k_bins, group, keep, top_k, self.SCAN_CHUNK, do_rerank,
+                    qc, self.store._arrays, raw, valid,
+                )
+                return ids[:b], vals[:b]
             q_raw = self.store.ship_queries(queries)
             raw = self.store._raw if do_rerank else q_raw
             ids, vals = fused_flat_search(
@@ -1382,8 +1451,56 @@ class HNSWIndex:
         ids = jnp.where(vals > NEG_INF / 2, ids, -1)
         return ids[:b], vals[:b]
 
+    def _search_streamed(
+        self,
+        queries: np.ndarray,
+        top_k: int,
+        mask: np.ndarray | None,
+        rerank: bool,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Beyond-HBM serving: codes streamed from host RAM through the
+        chunked device scan (ops/flat_scan.streamed_flat_topk), exact
+        rerank against the host-resident raw rows."""
+        from cosdata_tpu.ops.flat_scan import streamed_flat_topk
+
+        queries = np.atleast_2d(np.asarray(queries, np.float32))
+        b = len(queries)
+        if self.n == 0:
+            return (
+                np.full((b, top_k), -1, np.int64),
+                np.full((b, top_k), -np.inf, np.float32),
+            )
+        valid_np = np.zeros(self.store.capacity, bool)
+        valid_np[: self.n] = True
+        if getattr(self, "_alive_host", None) is not None:
+            valid_np &= self._alive_host[: self.store.capacity]
+        if mask is not None:
+            m = np.zeros(self.store.capacity, bool)
+            m[: len(mask)] = mask
+            valid_np &= m
+        host_rerank = rerank and self.store.raw_on_host
+        fetch = max(min(5 * top_k, max(self.n, 1)), top_k) if host_rerank else top_k
+        top_s, top_i = streamed_flat_topk(
+            self.store.metric, self.store, queries, fetch, valid_np
+        )
+        vals, ids = jax.device_get((top_s, top_i))
+        ids = ids.astype(np.int64)
+        ids = np.where(vals > NEG_INF / 2, ids, -1)
+        if host_rerank:
+            re = self.store.rerank_scores_host(queries, np.maximum(ids, 0))
+            re = np.where(ids >= 0, re, -np.inf)
+            order = np.argsort(-re, axis=1, kind="stable")[:, :top_k]
+            ids = np.take_along_axis(ids, order, axis=1)
+            vals = np.take_along_axis(re, order, axis=1).astype(np.float32)
+        else:
+            ids, vals = ids[:, :top_k], vals[:, :top_k]
+        return ids, vals
+
     # ---------------------------------------------------------------- delete
 
     def delete(self, internal_id: int) -> None:
-        self.alive = self.alive.at[int(internal_id)].set(False)
+        if getattr(self, "_alive_host", None) is not None:
+            self._alive_host[int(internal_id)] = False
+        else:
+            self.alive = self.alive.at[int(internal_id)].set(False)
         self.n_deleted += 1

@@ -51,6 +51,8 @@ class TFIDFIndex:
         sample_threshold: int = 1000,
         max_token_len: int = 40,
         average_document_length: float | None = None,  # fixed -> skip sampling
+        scan_budget: int | None = None,
+        scan_budget_total: int | None = None,
     ):
         self.k1 = float(k1)
         self.b = float(b)
@@ -88,6 +90,21 @@ class TFIDFIndex:
         #: — small batches split this among fewer queries)
         self.SCAN_BUDGET_TOTAL = 64 * 65536
         self.MAX_TERM_POSTINGS = 16384
+        # operator-pinned budgets (see InvertedIndex: pinning both makes
+        # served quality independent of dispatch batch size)
+        if scan_budget is not None:
+            self.SCAN_BUDGET = int(scan_budget)
+        if scan_budget_total is not None:
+            self.SCAN_BUDGET_TOTAL = int(scan_budget_total)
+        # vectorized allocator tables (filled by _build_csr)
+        self._term_sorted = np.zeros(0, np.int64)
+        self._term_start = np.zeros(0, np.int64)
+        self._term_len = np.zeros(0, np.int64)
+        self._term_heads = np.zeros(0, np.float32)
+        self._live_df_arr = np.zeros(0, np.int64)
+        self._tf_cnt = np.zeros((0, self.TF_BUCKETS + 2), np.int32)
+        self._csr_term_idx = np.zeros(0, np.int64)
+        self._h_ids_sorted = np.zeros(0, np.int32)
         #: dead fraction that triggers posting compaction at flush
         COMPACT = 0.25
         self.COMPACT_THRESHOLD = COMPACT
@@ -219,20 +236,19 @@ class TFIDFIndex:
         if not self._csr_dirty:
             return
         ids_parts, val_parts, term_lens = [], [], []
-        terms = list(self._postings.keys())
+        terms = sorted(self._postings.keys())  # sorted: vectorized lookup
         self._csr_range = {}
-        self._live_df = {}
         for term in terms:
             p = self._postings[term]
             ids = np.asarray(p.ids, np.int32)
             ids_parts.append(ids)
             val_parts.append(np.asarray(self._tfs[term], np.float32))
             term_lens.append(len(ids))
-            self._live_df[term] = int(self._alive[ids].sum())
-        self._df_dirty = False
         if not ids_parts or sum(term_lens) == 0:
             self._csr_ids = None
             self._csr_dirty = False
+            self._live_df = {}
+            self._term_sorted = np.zeros(0, np.int64)
             return
         flat_ids = np.concatenate(ids_parts)
         flat_tfs = np.concatenate(val_parts)
@@ -242,13 +258,75 @@ class TFIDFIndex:
         for t, term in enumerate(terms):
             self._csr_range[term] = (pos, term_lens[t])
             pos += term_lens[t]
-        # host copy of the per-term tf-descending values: the scan-budget
-        # allocator cuts each term's postings at tf >= T/idf (impact
-        # thresholding) and needs host-side searchsorted over them
+        # host copy of the per-term tf-descending values + vectorized
+        # lookup arrays for the batch scan-budget allocator
         self._h_tfs = flat_tfs[order]
-        self._csr_ids = jnp.asarray(flat_ids[order])
+        self._h_ids_sorted = flat_ids[order]
+        self._term_sorted = np.asarray(terms, np.int64)
+        self._term_len = np.asarray(term_lens, np.int64)
+        self._term_start = np.concatenate(
+            [[0], np.cumsum(self._term_len)[:-1]]
+        ).astype(np.int64)
+        self._csr_term_idx = term_idx[order]
+        # per-term cumulative tf-bucket counts: cnt[t, i] = postings with
+        # tf-bucket >= i, bucket = floor(tf / head * NB). The allocator
+        # cuts lists at tf >= T/idf via one table gather (undercounting
+        # inside the boundary bucket keeps the budget bound structural)
+        NB = self.TF_BUCKETS
+        heads = np.maximum(self._h_tfs[self._term_start], 1e-30)
+        self._term_heads = heads
+        buckets = np.minimum(
+            (self._h_tfs / heads[self._csr_term_idx] * NB).astype(np.int64),
+            NB,
+        )
+        hist = np.bincount(
+            self._csr_term_idx * (NB + 1) + buckets,
+            minlength=len(terms) * (NB + 1),
+        ).reshape(len(terms), NB + 1)
+        cum = np.cumsum(hist[:, ::-1], axis=1)[:, ::-1]
+        self._tf_cnt = np.concatenate(
+            [cum, np.zeros((len(terms), 1), cum.dtype)], axis=1
+        ).astype(np.int32)
+        self._refresh_live_df()
+        self._csr_ids = jnp.asarray(self._h_ids_sorted)
         self._csr_vals = jnp.asarray(self._h_tfs)
+        # per-doc (compact term idx, tf) padded rows for the gather-rescore
+        # scoring path (see inverted.candidates_rescore_topk): score(doc) =
+        # Σ idf[term] * tf over the doc's OWN row — exact BM25, no scatter
+        order_d = np.argsort(flat_ids, kind="stable")
+        docs_sorted = flat_ids[order_d]
+        terms_sorted = term_idx[order_d].astype(np.int32)
+        tfs_sorted = flat_tfs[order_d]
+        uniq_d, starts_d, counts_d = np.unique(
+            docs_sorted, return_index=True, return_counts=True
+        )
+        r_max = max(_next_pow2(int(counts_d.max())), 8)
+        doc_terms = np.zeros((self.n_cap, r_max), np.int32)
+        doc_tfs = np.zeros((self.n_cap, r_max), np.float32)
+        cols = np.arange(len(docs_sorted)) - np.repeat(starts_d, counts_d)
+        keep = cols < r_max
+        doc_terms[docs_sorted[keep], cols[keep]] = terms_sorted[keep]
+        doc_tfs[docs_sorted[keep], cols[keep]] = tfs_sorted[keep]
+        self._doc_terms_dev = jnp.asarray(doc_terms)
+        self._doc_tfs_dev = jnp.asarray(doc_tfs)
         self._csr_dirty = False
+
+    #: tf-bucket resolution of the allocator's per-term count tables
+    TF_BUCKETS = 128
+
+    def _refresh_live_df(self):
+        """Vectorized live-document-frequency recount (idf must track only
+        live docs under churn)."""
+        self._live_df_arr = np.bincount(
+            self._csr_term_idx,
+            weights=self._alive[self._h_ids_sorted].astype(np.float64),
+            minlength=len(self._term_sorted),
+        ).astype(np.int64)
+        self._live_df = {
+            int(t): int(df)
+            for t, df in zip(self._term_sorted, self._live_df_arr)
+        }
+        self._df_dirty = False
 
     def search(self, queries: list[str], top_k: int = 10) -> tuple[np.ndarray, np.ndarray]:
         b = len(queries)
@@ -265,73 +343,75 @@ class TFIDFIndex:
             return np.full((b, top_k), -1, np.int64), np.zeros((b, top_k), np.float32)
         if self._df_dirty:
             # deletes since the last CSR build: refresh live per-term df
-            for term, p in self._postings.items():
-                self._live_df[term] = int(
-                    self._alive[np.asarray(p.ids, np.int64)].sum()
-                )
-            self._df_dirty = False
-        seg_lists = []
-        for text in queries:
-            segs = []
-            present = []
-            for term in process_text_query(text, self.max_token_len):
-                rng = self._csr_range.get(term)
-                if rng is None:
-                    continue
-                df = self._live_df.get(term, rng[1])
-                if df <= 0:
-                    continue
-                present.append((term, rng))
-            # per-query scan budget over the present terms: postings are
-            # tf-descending, so each term's cut keeps its strongest
-            # candidates. The budget is allocated by IMPACT (idf * tf)
-            # thresholding across terms — rare high-idf terms keep their
-            # full short lists, and head-term lists are cut exactly at the
-            # globally weakest contributions (see
-            # InvertedIndex._impact_alloc), not at a uniform budget//n cap.
-            from cosdata_tpu.indexes.inverted import InvertedIndex
+            self._refresh_live_df()
+        # tokenize (host text pipeline), then allocate the whole batch's
+        # scan budgets in one vectorized pass: per-query scan budget over
+        # the present terms, allocated by IMPACT (idf * tf) thresholding —
+        # rare high-idf terms keep their full short lists, head-term lists
+        # are cut at the globally weakest contributions (see
+        # inverted.impact_segments_batch), not at a uniform budget//n cap.
+        # Batch-adaptive budget: a lone query affords the whole dispatch
+        # workspace (InvertedIndex._effective_budget semantics).
+        from cosdata_tpu.indexes.inverted import impact_segments_batch
 
-            idfs = []
-            tf_slices = []
-            for term, (start, length) in present:
-                df = self._live_df.get(term, length)
-                idfs.append(get_idf(self.live_documents, df))
-                tf_slices.append(self._h_tfs[start : start + length])
-            # batch-adaptive budget: a lone query affords the whole
-            # dispatch workspace (InvertedIndex._effective_budget), and
-            # the per-term ceiling scales with it
-            budget = max(
-                self.SCAN_BUDGET, self.SCAN_BUDGET_TOTAL // max(b, 1)
-            )
-            alloc = InvertedIndex._impact_alloc(
-                idfs, tf_slices, [rng[1] for _, rng in present],
-                budget, self.SEGCAP,
-                max(self.MAX_TERM_POSTINGS, budget // 8),
-            ) if present else []
-            for (term, (start, _)), idf, length in zip(present, idfs, alloc):
-                for off in range(0, length, self.SEGCAP):
-                    segs.append(
-                        (start + off, min(self.SEGCAP, length - off), idf)
-                    )
-            seg_lists.append(segs)
-        maxd = max(
-            _PAD_MIN // 16, _next_pow2(max((len(s) for s in seg_lists), default=1))
+        budget = max(self.SCAN_BUDGET, self.SCAN_BUDGET_TOTAL // max(b, 1))
+        term_lists = [
+            process_text_query(text, self.max_token_len) for text in queries
+        ]
+        counts = np.asarray([len(t) for t in term_lists], np.int64)
+        qi = np.repeat(np.arange(b), counts)
+        flat_terms = np.asarray(
+            [t for terms in term_lists for t in terms], np.int64
         )
-        starts = np.full((b, maxd), -1, np.int32)
-        lens = np.zeros((b, maxd), np.int32)
-        mults = np.zeros((b, maxd), np.float32)
-        for i, segs in enumerate(seg_lists):
-            for j, (s, l, m) in enumerate(segs):
-                starts[i, j] = s
-                lens[i, j] = l
-                mults[i, j] = m
+        if len(flat_terms) and len(self._term_sorted):
+            pos = np.searchsorted(self._term_sorted, flat_terms)
+            safe = np.minimum(pos, len(self._term_sorted) - 1)
+            ok = self._term_sorted[safe] == flat_terms
+            ok &= self._live_df_arr[safe] > 0
+        else:
+            safe = np.zeros(0, np.int64)
+            ok = np.zeros(len(flat_terms), bool)
+        qi, tidx = qi[ok], safe[ok]
+        df = self._live_df_arr[tidx]
+        N_live = self.live_documents
+        idf = np.log1p((N_live - df + 0.5) / (df + 0.5)).astype(np.float32)
+        pos_w = idf > 0.0
+        qi, tidx, idf = qi[pos_w], tidx[pos_w], idf[pos_w]
+        maxper = max(self.MAX_TERM_POSTINGS, budget // 8)
+        caps = np.minimum(self._term_len[tidx], maxper)
+        order = np.lexsort((-idf, qi))  # highest-idf terms first per query
+        qi, tidx, idf, caps = qi[order], tidx[order], idf[order], caps[order]
+        units = (self._term_heads[tidx] / self.TF_BUCKETS).astype(np.float32)
+        starts, lens, mults = impact_segments_batch(
+            b, qi, self._term_start[tidx], idf, caps,
+            self._tf_cnt, tidx, units, self.TF_BUCKETS, budget,
+            self.SEGCAP, conservative=False, pad_min=_PAD_MIN // 16,
+        )
         if self._alive_dev is None:
             self._alive_dev = jnp.asarray(self._alive)
-        from cosdata_tpu.indexes.inverted import _score_csr
-
-        k_fetch = min(top_k, self.n_cap)
-        out_ids, scores = _score_csr(
-            starts, lens, mults, self._csr_ids, self._csr_vals,
-            self._alive_dev, self.n_cap, k_fetch, self.SEGCAP,
+        # gather-rescore: budgeted tf-descending prefixes nominate
+        # candidates; each is scored EXACTLY as Σ idf*tf over its own doc
+        # row (same sums as search_bm25's k-way merge up to f32
+        # association, sparse_ann_query.rs:149-233 — no 512-bucket top-k
+        # approximation, no scatter)
+        from cosdata_tpu.indexes.inverted import (
+            _next_pow2 as _np2,
+            rescore_dispatch,
         )
-        return out_ids, scores
+
+        qt_max = max(
+            _np2(int(np.bincount(qi, minlength=b).max()) if len(qi) else 1), 8
+        )
+        q_idx_arr = np.full((b, qt_max), -1, np.int32)
+        q_w_arr = np.zeros((b, qt_max), np.float32)
+        if len(qi):
+            qstart = np.searchsorted(qi, np.arange(b))
+            cols = np.arange(len(qi)) - qstart[qi]
+            q_idx_arr[qi, cols] = tidx.astype(np.int32)
+            q_w_arr[qi, cols] = idf
+        vocab_pad = max(_np2(len(self._term_sorted)), 128)
+        return rescore_dispatch(
+            starts, lens, self._csr_ids, self._doc_terms_dev,
+            self._doc_tfs_dev, q_idx_arr, q_w_arr, self._alive_dev,
+            vocab_pad, min(top_k, self.n_cap), self.SEGCAP, 8, self.n_cap,
+        )

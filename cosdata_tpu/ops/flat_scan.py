@@ -105,6 +105,214 @@ def flat_scan_topk(
 @functools.partial(
     jax.jit,
     static_argnames=(
+        "metric", "d_true", "d_pad", "k_bins", "group", "k_fetch", "k",
+        "chunk", "rerank",
+    ),
+)
+def fused_flat_search_codes(
+    metric: str,
+    d_true: int,
+    d_pad: int,
+    k_bins: int,
+    group: int,
+    k_fetch: int,
+    k: int,
+    chunk: int,
+    rerank: bool,
+    q,  # quantized u8 query pytree (B rows) — codes shipped 1 byte/dim
+    store,  # quantized u8 store pytree
+    raw,  # (cap, d_pad) f32/f16 raw rows (dummy when rerank=False)
+    valid,  # (cap,) bool
+):
+    """u8 flat scan tuned for wire and selection cost (the r3 headline
+    engine; measured against `fused_flat_search` in scripts/exp_r3.py):
+
+    - queries arrive PRE-QUANTIZED as u8 codes (1 byte/dim on the wire —
+      4x less than f32; stage-1 scoring is quantized either way, and the
+      exact rerank recovers full-precision ordering on the shortlist).
+    - chunk scores drop to bf16 before selection (halves the score-matrix
+      HBM traffic; measured overlap 1.0 with f32 selection at this shape).
+    - selection is BIN-MAX: scores reduce to per-`group`-row bin maxima
+      (a cheap reduction XLA fuses into the matmul epilogue) and only the
+      (B, bins) maxima go through the running top-k; the top k_bins bins
+      expand to group-width candidate windows rescored exactly (quantized)
+      afterwards — the same windowed-max principle as approx_max_k but
+      amortized across the whole sweep, with the expansion priced as one
+      gather+einsum instead of a per-chunk sort.
+    - rerank (when raw rows are device-resident) runs f32 math against
+      the dequantized query codes: no f32 query upload exists at all.
+    """
+    from cosdata_tpu.ops import distance as D
+    from cosdata_tpu.ops.storage import _cos_or_dot, _scores_gathered
+
+    b = q.data.shape[0]
+    capacity = store.data.shape[0]
+    num_chunks = capacity // chunk
+    bins_per_chunk = chunk // group
+
+    use_pallas = (
+        jax.default_backend() == "tpu"
+        and metric in ("cosine", "dot")
+        and capacity % 1024 == 0
+        and group in (16, 32, 64)
+    )
+    if use_pallas:
+        # fused MXU matmul + dequant + bin-max with scores VMEM-only
+        # (ops/pallas/u8_scan.py); selection then runs over C/group maxima
+        from cosdata_tpu.ops.pallas.u8_scan import u8_bin_max_from_store
+
+        bins = u8_bin_max_from_store(
+            metric, group, q, store, valid, d_pad,
+            qb=min(512, b), bc=1024,
+        )
+        bin_s, bin_ids = jax.lax.approx_max_k(
+            bins, k_bins, recall_target=0.95
+        )
+        bin_ids = jnp.where(bin_s > NEG_INF / 2, bin_ids, -1)
+    else:
+        def body(c, carry):
+            top_s, top_b = carry
+            start = c * chunk
+            sl = _slice_store(store, "u8", start, chunk)
+            scores = D.score(metric, "u8", q, sl, d_pad)  # (B, chunk)
+            v = jax.lax.dynamic_slice_in_dim(valid, start, chunk)
+            scores = jnp.where(v[None, :], scores, NEG_INF).astype(jnp.bfloat16)
+            bin_max = scores.reshape(b, bins_per_chunk, group).max(axis=2)
+            bin_max = bin_max.astype(jnp.float32)
+            c_b = jax.lax.broadcasted_iota(jnp.int32, (b, bins_per_chunk), 1)
+            c_b = c_b + c * bins_per_chunk
+            all_s = jnp.concatenate([top_s, bin_max], axis=1)
+            all_b = jnp.concatenate([top_b, c_b], axis=1)
+            top_s, pos = jax.lax.top_k(all_s, k_bins)
+            top_b = jnp.take_along_axis(all_b, pos, axis=1)
+            return top_s, top_b
+
+        init = (
+            jnp.full((b, k_bins), NEG_INF, jnp.float32),
+            jnp.full((b, k_bins), -1, jnp.int32),
+        )
+        bin_s, bin_ids = jax.lax.fori_loop(0, num_chunks, body, init)
+    # expand the winning bins to row candidates and rescore exactly
+    rows = (
+        jnp.maximum(bin_ids, 0)[:, :, None] * group
+        + jnp.arange(group)[None, None, :]
+    ).reshape(b, k_bins * group)
+    live = (
+        (bin_ids[:, :, None] >= 0).repeat(group, axis=2).reshape(b, -1)
+        & valid[rows]
+    )
+    cand_s = _scores_gathered(metric, "u8", d_pad, q, store, rows)
+    cand_s = jnp.where(live, cand_s, NEG_INF)
+    kf = min(k_fetch, k_bins * group)
+    vals, pos = jax.lax.top_k(cand_s, kf)
+    ids = jnp.take_along_axis(rows, pos, axis=1)
+    if rerank:
+        # exact rerank against raw rows, query = dequantized codes (the
+        # only query representation on device)
+        q_deq = q.a * (q.data.astype(jnp.float32) + 128.0) + q.b
+        lanes = jnp.arange(d_pad) < d_true
+        q_deq = jnp.where(lanes[None, :], q_deq, 0.0)
+        safe = jnp.maximum(ids, 0)
+        cand = raw[safe].astype(jnp.float32)  # (B, kf, D)
+        dot = jnp.einsum(
+            "qd,qkd->qk", q_deq, cand, precision=jax.lax.Precision.HIGHEST
+        )
+        qm = jnp.linalg.norm(q_deq, axis=-1)
+        cm = jnp.linalg.norm(cand, axis=-1)
+        m = "euclidean" if metric == "hamming" else metric
+        re = _cos_or_dot(m, dot, qm, cm)
+        re = jnp.where(vals > NEG_INF / 2, re, NEG_INF)
+        vals, pos = jax.lax.top_k(re, k)
+        ids = jnp.take_along_axis(ids, pos, axis=1)
+    else:
+        vals, ids = vals[:, :k], ids[:, :k]
+    ids = jnp.where(vals > NEG_INF / 2, ids, -1)
+    return ids, vals
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "d", "k"))
+def _streamed_chunk_merge(
+    metric: str, d: int, k: int, q, chunk_store, valid, base, top_s, top_i
+):
+    """Merge one host-streamed u8 code chunk into the running top-k."""
+    from cosdata_tpu.ops import distance as D
+
+    scores = D.score(metric, "u8", q, chunk_store, d)
+    scores = jnp.where(valid[None, :], scores, NEG_INF)
+    c_s, c_i = jax.lax.approx_max_k(
+        scores, min(k, scores.shape[1]), recall_target=0.99
+    )
+    c_i = c_i + base
+    all_s = jnp.concatenate([top_s, c_s], axis=1)
+    all_i = jnp.concatenate([top_i, c_i], axis=1)
+    top_s, pos = jax.lax.top_k(all_s, k)
+    top_i = jnp.take_along_axis(all_i, pos, axis=1)
+    return top_s, top_i
+
+
+#: rows per streamed chunk (x dim bytes = h2d transfer per dispatch)
+STREAM_CHUNK = 1 << 16
+
+
+def streamed_flat_topk(metric, store, q_np, k_fetch, valid_np):
+    """Beyond-HBM scan: u8 codes live in HOST RAM (VectorStore spill tier,
+    the role of the reference's lazy cache_loader.rs); chunks stream
+    host->device through a pipeline of async dispatches with a running
+    device top-k. Returns device (scores (B, k), ids (B, k)).
+
+    ``valid_np``: host bool mask over capacity rows (tombstones+filters)."""
+    import numpy as np
+
+    from cosdata_tpu.ops import quantize as Q
+
+    a = store._arrays  # numpy-backed QuantizedU8
+    b = len(q_np)
+    bp = max(8, 1 << int(np.ceil(np.log2(b))))
+    if bp != b:
+        q_np = np.concatenate([q_np, np.repeat(q_np[-1:], bp - b, 0)])
+    # query codes quantized on HOST: 1-byte wire, and stage-1 scoring is
+    # quantized either way
+    qi8 = store._host_quantize_u8(store._pad_dims_np(q_np))
+    sums = qi8.sum(axis=1, dtype=np.int32)
+    lo, hi = store.range
+    aa = (np.float32(hi) - np.float32(lo)) / np.float32(255.0)
+    deq = aa * (qi8.astype(np.float32) + 128.0) + np.float32(lo)
+    deq[:, store.dim :] = 0.0
+    mags = np.sqrt((deq * deq).sum(axis=1))
+    q = Q.QuantizedU8(
+        jnp.asarray(qi8), jnp.asarray(sums), jnp.asarray(mags),
+        jnp.float32(a.a), jnp.float32(a.b), jnp.float32(a.dtrue),
+    )
+    k = min(k_fetch, store.capacity)
+    top_s = jnp.full((bp, k), NEG_INF, jnp.float32)
+    top_i = jnp.full((bp, k), -1, jnp.int32)
+    n_rows = store.n
+    for base in range(0, n_rows, STREAM_CHUNK):
+        end = min(base + STREAM_CHUNK, store.capacity)
+        short = STREAM_CHUNK - (end - base)
+        data_c, sums_c, mags_c = (
+            a.data[base:end], a.sums[base:end], a.mags[base:end],
+        )
+        valid_c = valid_np[base:end]
+        if short:  # pad the tail chunk: ONE compiled shape for the sweep
+            data_c = np.pad(data_c, ((0, short), (0, 0)), constant_values=-128)
+            sums_c = np.pad(sums_c, (0, short))
+            mags_c = np.pad(mags_c, (0, short))
+            valid_c = np.pad(valid_c, (0, short))
+        chunk = Q.QuantizedU8(
+            jnp.asarray(data_c), jnp.asarray(sums_c), jnp.asarray(mags_c),
+            jnp.float32(a.a), jnp.float32(a.b), jnp.float32(a.dtrue),
+        )
+        valid = jnp.asarray(valid_c)
+        top_s, top_i = _streamed_chunk_merge(
+            metric, store.dim_pad, k, q, chunk, valid, base, top_s, top_i
+        )
+    return top_s[:b], top_i[:b]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
         "metric", "kind", "d_true", "d_pad", "resolution", "k_fetch", "k",
         "chunk", "rerank",
     ),

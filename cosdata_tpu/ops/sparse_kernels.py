@@ -88,6 +88,95 @@ def csr_accumulate_topk(
     return top_s, top_i
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("vocab_pad", "k_fetch", "segcap", "cand_chunk"),
+)
+def candidates_rescore_topk(
+    starts: jax.Array,  # (B, MAXD) int32 posting-segment offsets (-1 unused)
+    lens: jax.Array,  # (B, MAXD) int32 segment lengths (<= segcap)
+    post_ids: jax.Array,  # (P,) int32 posting doc ids (candidate source)
+    doc_dims: jax.Array,  # (n_cap, R) int32 COMPACT dim idx per doc, 0-pad
+    doc_vals: jax.Array,  # (n_cap, R) f32 raw values per doc, 0-padded
+    q_dim_idx: jax.Array,  # (B, QD) int32 compact idx of query dims (-1 pad)
+    q_weights: jax.Array,  # (B, QD) f32 query weight per dim (qv / idf)
+    alive: jax.Array,  # (n_cap,) bool
+    vocab_pad: int,
+    k_fetch: int,
+    segcap: int,
+    cand_chunk: int,
+):
+    """Candidate gather + EXACT raw-row rescore + top-k, no scatter.
+
+    The r2 scatter-accumulate kernel throttled at ~4-8M scatter-adds/s on
+    TPU (scatter lowers to serialized updates) AND scored in quantized
+    buckets. This formulation inverts the access pattern: the budgeted
+    posting prefixes only *nominate candidates*; each candidate doc's
+    score is computed exactly as Σ_j qdense[dim_j] · val_j over its OWN
+    raw row — two gathers and a multiply-reduce, fully parallel on the
+    VPU, with scores equal to the unquantized oracle for every candidate
+    (the reference's rerank_sparse_with_raw_values, inverted/mod.rs:331-381,
+    promoted to the only scoring path). Duplicate candidates (a doc
+    nominated by several dims) carry identical scores; the caller fetches
+    k*dup_slack and dedups on host.
+
+    Returns (scores (B, k_fetch), ids (B, k_fetch)).
+    """
+    b, maxd = starts.shape
+    # dense query-weight rows: tiny scatter (B x QD updates)
+    rows_q = jax.lax.broadcasted_iota(jnp.int32, q_dim_idx.shape, 0)
+    safe_qd = jnp.where(q_dim_idx >= 0, q_dim_idx, vocab_pad)
+    qdense = jnp.zeros((b, vocab_pad + 1), jnp.float32)
+    qdense = qdense.at[rows_q, safe_qd].add(
+        jnp.where(q_dim_idx >= 0, q_weights, 0.0), mode="drop"
+    )
+    # candidate ids from the budgeted posting prefixes
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, segcap), 2)
+    idx = starts[:, :, None] + iota
+    valid = (iota < lens[:, :, None]) & (starts[:, :, None] >= 0)
+    safe = jnp.clip(idx, 0, post_ids.shape[0] - 1)
+    cand = jnp.where(valid, post_ids[safe], -1).reshape(b, maxd * segcap)
+    p = cand.shape[1]
+    pad = (-p) % cand_chunk
+    if pad:
+        cand = jnp.pad(cand, ((0, 0), (0, pad)), constant_values=-1)
+    n_chunks = cand.shape[1] // cand_chunk
+    r = doc_dims.shape[1]
+
+    def body(c, carry):
+        top_s, top_i = carry
+        ids_c = jax.lax.dynamic_slice_in_dim(
+            cand, c * cand_chunk, cand_chunk, axis=1
+        )
+        safe_c = jnp.maximum(ids_c, 0)
+        dd = doc_dims[safe_c]  # (B, PC, R)
+        dv = doc_vals[safe_c]  # (B, PC, R)
+        qv = jnp.take_along_axis(
+            qdense, dd.reshape(b, -1), axis=1
+        ).reshape(b, cand_chunk, r)
+        sc = jnp.sum(qv * dv, axis=-1)  # exact raw score (pads carry 0)
+        ok = (ids_c >= 0) & alive[safe_c]
+        sc = jnp.where(ok, sc, NEG_INF)
+        c_s, c_pos = jax.lax.approx_max_k(
+            sc, min(k_fetch, cand_chunk), recall_target=0.95
+        )
+        c_i = jnp.take_along_axis(ids_c, c_pos, axis=1)
+        all_s = jnp.concatenate([top_s, c_s], axis=1)
+        all_i = jnp.concatenate([top_i, c_i], axis=1)
+        top_s, pos = jax.lax.top_k(all_s, k_fetch)
+        top_i = jnp.take_along_axis(all_i, pos, axis=1)
+        return top_s, top_i
+
+    init = (
+        jnp.full((b, k_fetch), NEG_INF, jnp.float32),
+        jnp.full((b, k_fetch), -1, jnp.int32),
+    )
+    top_s, top_i = jax.lax.fori_loop(0, n_chunks, body, init)
+    top_i = jnp.where(top_s > NEG_INF / 2, top_i, -1)
+    top_s = jnp.where(top_s > NEG_INF / 2, top_s, 0.0)
+    return top_s, top_i
+
+
 @functools.partial(jax.jit, static_argnames=("k", "segcap"))
 def csr_segment_topk(
     starts: jax.Array,  # (B, MAXD) int32 posting offsets (-1 = unused slot)

