@@ -256,8 +256,15 @@ def main():
     _progress("truth done")
     # ---- flat u8 scan (headline engine) ----
     try:
+        # the codes engine (1-byte/dim query wire + Pallas fused bin-max
+        # scan) is the headline path; recall is measured through the same
+        # path, so the engine choice is honest-by-construction
+        os.environ["COSDATA_FLAT_ENGINE"] = "codes"
+        out["flat_engine"] = "codes"
+        # f16 device raw: halves the rerank tier's HBM + ingest wire at
+        # ~1e-3 relative row error (recall measured through this path)
         flat = FlatIndex(dim=d, kind="u8", range_=rng_tuned, initial_capacity=n,
-                         ship_dtype="auto")
+                         ship_dtype="auto", raw_dtype="f16")
         t0 = time.time()
         for s in range(0, n, 131072):
             flat.add(x[s : s + 131072])
@@ -456,11 +463,15 @@ def main():
         # 4M-posting workspace (indexes/inverted.py _effective_budget)
         n1 = 8
         ids1 = []
+        lat1 = []
         inv.search([queries[0]], top_k=k)  # compile the b=1 shape
-        t0 = time.time()
         for q1 in queries[:n1]:
+            t0 = time.time()
             ids1.append(inv.search([q1], top_k=k)[0][0])
-        sp_lat1 = (time.time() - t0) / n1
+            lat1.append(time.time() - t0)
+        # median: per-query segment shapes can differ, and a shape that
+        # wasn't warmed recompiles inside the loop (ADVICE r2)
+        sp_lat1 = float(np.median(lat1))
         sp_b1_vs_exact = np.mean([
             len(set(map(int, ids1[j])) & set(map(int, ids_ex[j]))) / k
             for j in range(n1)
@@ -624,8 +635,12 @@ def main():
             hq_sparse.append(np.stack([dd[pick], vv[pick]], axis=1))
 
         def hybrid_batch():
-            d_ids, _ = hflat.search(hq_dense, top_k=fetch, rerank=True)
+            # overlap the legs: the dense dispatch is async; the sparse
+            # leg's host prep + device dispatch run while it executes
+            # (the reference joins its legs too, search/repo.rs:343-555)
+            d_out = hflat.search_device(hq_dense, top_k=fetch, rerank=True)
             s_ids, _ = hinv.search(hq_sparse, top_k=fetch)
+            d_ids = np.asarray(_jax.device_get(d_out)[0], np.int64)
             # vectorized RRF: score 1/(rank + 60 + eps) summed across legs
             rr = 1.0 / (np.arange(fetch) + 60.0 + np.finfo(np.float32).eps)
             fused_ids = np.full((nq_h, k), -1, np.int64)

@@ -26,6 +26,7 @@ class FlatIndex:
         keep_raw: bool = True,
         initial_capacity: int = 1024,
         ship_dtype: str = "f32",
+        raw_dtype: str = "f32",
     ):
         if initial_capacity >= self.SCAN_THRESHOLD:
             # presize to a scan-chunk multiple: growth later would transiently
@@ -34,7 +35,7 @@ class FlatIndex:
         self.store = VectorStore(
             dim=dim, kind=kind, metric=metric, resolution=resolution,
             range=range_, keep_raw=keep_raw, initial_capacity=initial_capacity,
-            ship_dtype=ship_dtype,
+            ship_dtype=ship_dtype, raw_dtype=raw_dtype,
         )
         self.alive = jnp.ones((self.store.capacity,), bool)
 

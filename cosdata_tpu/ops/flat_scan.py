@@ -150,23 +150,93 @@ def fused_flat_search_codes(
     num_chunks = capacity // chunk
     bins_per_chunk = chunk // group
 
+    import os as _os
+
+    # stage-1 selection strategy:
+    #   "approx" (default) — per-chunk bf16 approx_max_k shortlists merged
+    #     through the sweep, candidates rerank directly (measured 16.5k
+    #     qps device-side at 1M x 768, overlap 1.0 with exact selection)
+    #   "bins"  — bin-max + window expansion + quantized rescore; with
+    #     COSDATA_PALLAS_SCAN=1 the bin maxima come from the fused Pallas
+    #     kernel (scores VMEM-only; stage-1 14 ms/1M — but the expansion
+    #     rescore currently bounds the pipeline, see scripts/exp_r3b.py)
+    select = _os.environ.get("COSDATA_SCAN_SELECT", "approx")
+    pallas_bc = 2048
     use_pallas = (
-        jax.default_backend() == "tpu"
+        select == "bins"
+        and jax.default_backend() == "tpu"
         and metric in ("cosine", "dot")
-        and capacity % 1024 == 0
-        and group in (16, 32, 64)
+        and capacity % pallas_bc == 0
+        and pallas_bc % group == 0
+        and (pallas_bc // group) % 8 == 0
+        and _os.environ.get("COSDATA_PALLAS_SCAN", "1") != "0"
     )
+    if select != "bins":
+        def abody(c, carry):
+            top_s, top_i = carry
+            start = c * chunk
+            sl = _slice_store(store, "u8", start, chunk)
+            scores = D.score(metric, "u8", q, sl, d_pad)  # (B, chunk)
+            v = jax.lax.dynamic_slice_in_dim(valid, start, chunk)
+            scores = jnp.where(v[None, :], scores, NEG_INF).astype(jnp.bfloat16)
+            c_s, c_i = jax.lax.approx_max_k(
+                scores, min(k_fetch, chunk), recall_target=0.99
+            )
+            c_i = c_i + start
+            all_s = jnp.concatenate([top_s, c_s.astype(jnp.float32)], axis=1)
+            all_i = jnp.concatenate([top_i, c_i], axis=1)
+            top_s, pos = jax.lax.top_k(all_s, k_fetch)
+            top_i = jnp.take_along_axis(all_i, pos, axis=1)
+            return top_s, top_i
+
+        init = (
+            jnp.full((b, k_fetch), NEG_INF, jnp.float32),
+            jnp.full((b, k_fetch), -1, jnp.int32),
+        )
+        vals, ids = jax.lax.fori_loop(0, num_chunks, abody, init)
+        if rerank:
+            q_deq = q.a * (q.data.astype(jnp.float32) + 128.0) + q.b
+            lanes = jnp.arange(d_pad) < d_true
+            q_deq = jnp.where(lanes[None, :], q_deq, 0.0)
+            safe = jnp.maximum(ids, 0)
+            cand = raw[safe].astype(jnp.float32)
+            dot = jnp.einsum(
+                "qd,qkd->qk", q_deq, cand,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            qm = jnp.linalg.norm(q_deq, axis=-1)
+            cm = jnp.linalg.norm(cand, axis=-1)
+            m = "euclidean" if metric == "hamming" else metric
+            re = _cos_or_dot(m, dot, qm, cm)
+            re = jnp.where(vals > NEG_INF / 2, re, NEG_INF)
+            vals, pos = jax.lax.top_k(re, k)
+            ids = jnp.take_along_axis(ids, pos, axis=1)
+        else:
+            vals, ids = vals[:, :k], ids[:, :k]
+        ids = jnp.where(vals > NEG_INF / 2, ids, -1)
+        return ids, vals
     if use_pallas:
         # fused MXU matmul + dequant + bin-max with scores VMEM-only
-        # (ops/pallas/u8_scan.py); selection then runs over C/group maxima
+        # (ops/pallas/u8_scan.py); selection then runs over C/group maxima.
+        # The kernel is invoked per fixed-size row slice: one compiled
+        # program shape serves every capacity (a monolithic 1M-row grid
+        # sat in the remote compiler for 15+ minutes; the 64k-row shape
+        # compiles in seconds and XLA reuses it across the slices).
+        # NB: pallas bins are STRIDED row groups (see u8_scan module doc)
         from cosdata_tpu.ops.pallas.u8_scan import u8_bin_max_from_store
 
-        bins = u8_bin_max_from_store(
-            metric, group, q, store, valid, d_pad,
-            qb=min(512, b), bc=1024,
-        )
+        pc = min(1 << 16, capacity)
+        parts = []
+        for s0 in range(0, capacity, pc):
+            sl = _slice_store(store, "u8", s0, pc)
+            v = jax.lax.dynamic_slice_in_dim(valid, s0, pc)
+            parts.append(u8_bin_max_from_store(
+                metric, group, q, sl, v, d_pad,
+                qb=min(512, b), bc=pallas_bc,
+            ))
+        bins = jnp.concatenate(parts, axis=0).T  # (B, C/group)
         bin_s, bin_ids = jax.lax.approx_max_k(
-            bins, k_bins, recall_target=0.95
+            bins, k_bins, recall_target=0.99
         )
         bin_ids = jnp.where(bin_s > NEG_INF / 2, bin_ids, -1)
     else:
@@ -193,19 +263,53 @@ def fused_flat_search_codes(
         )
         bin_s, bin_ids = jax.lax.fori_loop(0, num_chunks, body, init)
     # expand the winning bins to row candidates and rescore exactly
-    rows = (
-        jnp.maximum(bin_ids, 0)[:, :, None] * group
-        + jnp.arange(group)[None, None, :]
-    ).reshape(b, k_bins * group)
+    safe_bins = jnp.maximum(bin_ids, 0)
+    if use_pallas:
+        # strided bins: bin id = (block j) * nb + offset; rows =
+        # j*bc + offset + g*nb (u8_scan module doc)
+        nb = pallas_bc // group
+        jblk = safe_bins // nb
+        off = safe_bins % nb
+        rows = (
+            (jblk * pallas_bc + off)[:, :, None]
+            + jnp.arange(group)[None, None, :] * nb
+        ).reshape(b, k_bins * group)
+    else:
+        rows = (
+            safe_bins[:, :, None] * group
+            + jnp.arange(group)[None, None, :]
+        ).reshape(b, k_bins * group)
     live = (
         (bin_ids[:, :, None] >= 0).repeat(group, axis=2).reshape(b, -1)
         & valid[rows]
     )
-    cand_s = _scores_gathered(metric, "u8", d_pad, q, store, rows)
-    cand_s = jnp.where(live, cand_s, NEG_INF)
-    kf = min(k_fetch, k_bins * group)
-    vals, pos = jax.lax.top_k(cand_s, kf)
-    ids = jnp.take_along_axis(rows, pos, axis=1)
+    # chunked exact (quantized) rescore of the expanded windows: a single
+    # (B, k_bins*group, D) gather blows HBM past ~2048 candidates
+    p_total = k_bins * group
+    ch = min(p_total, 1024)
+    while p_total % ch:
+        ch //= 2
+    kf = min(k_fetch, p_total)
+
+    def exp_body(cc, carry):
+        top_s, top_i = carry
+        rows_c = jax.lax.dynamic_slice_in_dim(rows, cc * ch, ch, axis=1)
+        live_c = jax.lax.dynamic_slice_in_dim(live, cc * ch, ch, axis=1)
+        sc = _scores_gathered(metric, "u8", d_pad, q, store, rows_c)
+        sc = jnp.where(live_c, sc, NEG_INF)
+        c_s, c_pos = jax.lax.top_k(sc, min(kf, ch))
+        c_i = jnp.take_along_axis(rows_c, c_pos, axis=1)
+        all_s = jnp.concatenate([top_s, c_s], axis=1)
+        all_i = jnp.concatenate([top_i, c_i], axis=1)
+        top_s, pos = jax.lax.top_k(all_s, kf)
+        top_i = jnp.take_along_axis(all_i, pos, axis=1)
+        return top_s, top_i
+
+    init = (
+        jnp.full((b, kf), NEG_INF, jnp.float32),
+        jnp.full((b, kf), -1, jnp.int32),
+    )
+    vals, ids = jax.lax.fori_loop(0, p_total // ch, exp_body, init)
     if rerank:
         # exact rerank against raw rows, query = dequantized codes (the
         # only query representation on device)

@@ -153,6 +153,11 @@ class VectorStore:
     #: page cache lazily faults candidate rows, the closest analog of the
     #: reference's lazy_item page-fault loads); False = no raw
     keep_raw: bool | str = True
+    #: dtype of the device-resident raw rows (keep_raw=True): "f16" halves
+    #: their HBM + ingest wire at ~1e-3 relative value error — the exact
+    #: rerank is insensitive at that scale (same argument as the f16 query
+    #: wire); "f32" = bit-exact rows
+    raw_dtype: str = "f32"
     initial_capacity: int = 1024
     #: host->device wire dtype for ingested rows. "f16" halves ingest
     #: bandwidth at ~1e-3 relative value error — quantized codes
@@ -202,9 +207,17 @@ class VectorStore:
                 self.ship_dtype = "u8"  # 1-byte codes on a slow link
             elif self.kind == "subbyte":
                 self.ship_dtype = "f16"  # sub-quantization-noise rounding
+            elif (
+                self.kind == "u8"
+                and self.keep_raw is True
+                and self.raw_dtype == "f16"
+            ):
+                # device raw configured at f16 precision: the wire can ship
+                # f16 losslessly relative to what will be stored
+                self.ship_dtype = "f16"
             else:
-                # exact kinds (f16/f32) and device-raw stores: stored data
-                # must not depend on probed link speed — always ship f32
+                # exact kinds (f16/f32) and f32 device-raw stores: stored
+                # data must not depend on probed link speed — always ship f32
                 self.ship_dtype = "f32"
         self.dim_pad = _round_up(self.dim, _LANE)
         self.capacity = max(_round_up(self.initial_capacity, _LANE), _LANE)
@@ -216,7 +229,10 @@ class VectorStore:
         elif self.keep_raw == "disk":
             self._raw_host = self._new_memmap(self.capacity)
         elif self.keep_raw:
-            self._raw = jnp.zeros((self.capacity, self.dim_pad), jnp.float32)
+            self._raw = jnp.zeros(
+                (self.capacity, self.dim_pad),
+                jnp.float16 if self.raw_dtype == "f16" else jnp.float32,
+            )
         #: row-chunk dirty epochs (one shared row space for all store
         #: arrays) — lets snapshots write only touched chunks (O(delta) IO)
         self.tracker = DirtyTracker()
@@ -385,7 +401,7 @@ class VectorStore:
 
                 _os.unlink(old_path)
         elif self.keep_raw:
-            raw = jnp.zeros((cap, self.dim_pad), jnp.float32)
+            raw = jnp.zeros((cap, self.dim_pad), self._raw.dtype)
             self._raw = raw.at[: self.capacity].set(self._raw)
         self.capacity = cap
 
@@ -545,7 +561,7 @@ class VectorStore:
                 self._raw_host[self.n : self.n + len(piece)] = piece
             elif self.keep_raw:
                 self._raw = jax.lax.dynamic_update_slice(
-                    self._raw, xj, (self.n, 0)
+                    self._raw, xj.astype(self._raw.dtype), (self.n, 0)
                 )
             self.n += len(piece)
         ids = np.arange(start, self.n, dtype=np.int64)
@@ -733,7 +749,7 @@ def _scores_gathered(metric: str, kind: str, d: int, q, store, ids: jax.Array):
 @functools.partial(jax.jit, static_argnames=("metric",))
 def _rerank(metric: str, q_raw: jax.Array, raw: jax.Array, ids: jax.Array):
     safe = jnp.maximum(ids, 0)
-    cand = raw[safe]  # (Q, K, D)
+    cand = raw[safe].astype(jnp.float32)  # (Q, K, D); raw may be f16
     dot = jnp.einsum(
         "qd,qkd->qk", q_raw, cand, precision=jax.lax.Precision.HIGHEST
     )

@@ -62,13 +62,21 @@ class TestU8BinMax:
         valid = np.ones(c, bool)
         valid[5] = False
         valid[2000:] = False
+        bc = 1024
         got = np.asarray(u8_bin_max_from_store(
             metric, group, q, store, jnp.asarray(valid), d,
-            qb=8, bc=1024, interpret=True,
-        ))
+            qb=8, bc=bc, interpret=True,
+        )).T  # (B, C/group)
         ref = np.asarray(D.score(metric, "u8", q, store, d))
         ref = np.where(valid[None, :], ref, -3.0e38)
-        expect = ref.reshape(b, c // group, group).max(axis=2)
+        # STRIDED bins: bin j*nb+b covers rows j*bc + b + g*nb
+        nb = bc // group
+        expect = np.full((b, c // group), -3.0e38, np.float32)
+        for jblk in range(c // bc):
+            blk = ref[:, jblk * bc : (jblk + 1) * bc]
+            expect[:, jblk * nb : (jblk + 1) * nb] = blk.reshape(
+                b, group, nb
+            ).max(axis=1)
         ok = expect > -1e37
         np.testing.assert_allclose(got[ok], expect[ok], rtol=2e-5, atol=1e-5)
         assert (got[~ok] < -1e37).all()
