@@ -171,7 +171,14 @@ def rescore_dispatch(
     b = len(starts)
     fetch = min(top_k * dup_slack, n_cap)
     r = doc_dims_dev.shape[1]
+    maxd = starts.shape[1]
     chunk_q = SEG_QUERY_CHUNK
+    # bound BOTH workspaces: the (chunk_q, maxd*segcap) candidate-id
+    # expansion (an unbounded-budget oracle at maxd=64k segments built
+    # multi-GB iota intermediates and crashed the TPU worker) and the
+    # (chunk_q, cand_chunk, R) gather blocks
+    while chunk_q > 1 and chunk_q * maxd * segcap > (1 << 25):
+        chunk_q //= 2
     while chunk_q > 8 and chunk_q * 16384 * r > (1 << 27):
         chunk_q //= 2
     cand_chunk = max(2048, min(16384, (1 << 27) // max(chunk_q * r, 1)))

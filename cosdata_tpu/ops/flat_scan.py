@@ -82,10 +82,16 @@ def flat_scan_topk(
         else:
             # hardware approximate top-k: per-chunk shortlist selection is
             # recall-uncritical (the shortlist is exact-reranked downstream)
-            # and the full sort of lax.top_k dominates the sweep otherwise
+            # and the full sort of lax.top_k dominates the sweep otherwise.
+            # bf16 halves the score-matrix HBM traffic through the
+            # selection (u8 path; measured selection overlap 1.0, and the
+            # f32 selection cost dominated the sweep — BENCH.md r3)
+            if kind == "u8":
+                scores = scores.astype(jnp.bfloat16)
             c_s, c_i = jax.lax.approx_max_k(
                 scores, min(k, chunk), recall_target=0.99
             )
+            c_s = c_s.astype(jnp.float32)
         c_i = c_i + start
         all_s = jnp.concatenate([top_s, c_s], axis=1)
         all_i = jnp.concatenate([top_i, c_i], axis=1)

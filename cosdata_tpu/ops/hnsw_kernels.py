@@ -531,7 +531,14 @@ def _gather_pair(sc: jax.Array, pos: jax.Array) -> jax.Array:
 
 def _reverse_edges_body(adj, dist, src, fwd_rows, fwd_d, m, g_cap, chunk=65536):
     """Trace-inlinable body of apply_reverse_edges (shared by the fused
-    bulk kernels)."""
+    bulk kernels).
+
+    Grouping incoming edges by target uses a device SORT by
+    (target, -dist) + rank-within-run + a UNIQUE-index scatter: measured
+    on v5e at 64M edges, lax.sort runs 0.39 s where the previous
+    hash-slot scatter-max (64M colliding updates — TPU scatter serializes
+    collisions) took 1.15 s, and this form keeps exactly the m BEST
+    incoming per target instead of hash-dropping same-slot edges."""
     rows_n = adj.shape[0]
     w, mf = fwd_rows.shape
     e = w * mf
@@ -539,15 +546,31 @@ def _reverse_edges_body(adj, dist, src, fwd_rows, fwd_d, m, g_cap, chunk=65536):
     d_ = fwd_d.reshape(e)
     s_ = jnp.broadcast_to(src[:, None], (w, mf)).reshape(e)
     ok = (tgt >= 0) & (s_ >= 0) & (d_ > NEG_INF / 2)
-    col = jnp.abs(s_) % g_cap
-    row_idx = jnp.where(ok, tgt, rows_n)
-    inc_d = jnp.full((rows_n, g_cap), NEG_INF, jnp.float32)
-    inc_d = inc_d.at[row_idx, col].max(jnp.where(ok, d_, NEG_INF), mode="drop")
-    gathered = inc_d[jnp.minimum(row_idx, rows_n - 1), col]
-    is_win = ok & (d_ == gathered)
-    win_row = jnp.where(is_win, tgt, rows_n)
+    tgt_k = jnp.where(ok, tgt, rows_n)  # invalid edges sort last
+    tgt_s, negd_s, s_s = jax.lax.sort(
+        (tgt_k, -d_, s_), dimension=0, num_keys=2
+    )
+    pos = jnp.arange(e, dtype=jnp.int32)
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), tgt_s[1:] != tgt_s[:-1]]
+    )
+    seg_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(first, pos, 0)
+    )
+    rank = pos - seg_start  # quality rank within target (best = 0)
+    keep = (rank < g_cap) & (tgt_s < rows_n)
+    # dropped entries get UNIQUE out-of-bounds rows so unique_indices
+    # stays truthful for the whole update set (mode="drop" removes them)
+    row_idx = jnp.where(keep, tgt_s, rows_n + pos)
+    col = jnp.minimum(rank, g_cap - 1)
     inc_ids = jnp.full((rows_n, g_cap), -1, jnp.int32)
-    inc_ids = inc_ids.at[win_row, col].set(s_, mode="drop")
+    inc_ids = inc_ids.at[row_idx, col].set(
+        s_s, mode="drop", unique_indices=True
+    )
+    inc_d = jnp.full((rows_n, g_cap), NEG_INF, jnp.float32)
+    inc_d = inc_d.at[row_idx, col].set(
+        -negd_s, mode="drop", unique_indices=True
+    )
     inc_d = jnp.where(inc_ids >= 0, inc_d, NEG_INF)
     if rows_n <= chunk:
         dup = jnp.any(inc_ids[:, :, None] == adj[:, None, :], axis=-1)
@@ -592,6 +615,59 @@ def _reverse_edges_body(adj, dist, src, fwd_rows, fwd_d, m, g_cap, chunk=65536):
     return adj_p[:rows_n], dist_p[:rows_n]
 
 
+def _grouped_scores(metric, kind, store, gq, sq, mq, gc, sc_, mc, g: int = 8):
+    """Per-node candidate scores (N, K) via GROUP-of-``g`` block GEMM.
+
+    The natural formulation — einsum "nd,nkd->nk", a batched GEMV — does
+    NOT ride the MXU (measured 4.6 s for 1M x 64 x 768 int8 on v5e, pure
+    VPU time). Grouping g nodes against the CONCATENATION of their g
+    candidate sets turns it into batched (g x D) @ (D x gK) GEMMs — g x
+    redundant FLOPs, but MXU-placed, and the block-diagonal slices are
+    the wanted scores."""
+    n, k = gc.shape[0], gc.shape[1]
+    while n % g:
+        g //= 2
+    ng = n // g
+    dd = gq.shape[-1]
+    q8 = gq.reshape(ng, g, dd)
+    c8 = gc.reshape(ng, g * k, dd)
+    if kind in ("u8", "subbyte"):
+        cc = jnp.einsum(
+            "gnd,gkd->gnk", q8, c8, preferred_element_type=jnp.int32
+        )
+        diag = cc.reshape(ng, g, g, k)[
+            :, jnp.arange(g), jnp.arange(g), :
+        ].reshape(n, k).astype(jnp.float32)
+        if kind == "u8":
+            code_dot = (
+                diag + 128.0 * (sq[:, None] + sc_) + dd * 128.0 * 128.0
+            )
+            u1 = sq + 128.0 * dd
+            u2 = sc_ + 128.0 * dd
+        else:
+            code_dot = diag
+            u1, u2 = sq, sc_
+        dot = (
+            store.a * store.a * code_dot
+            + store.a * store.b * (u1[:, None] + u2)
+            + store.b * store.b * store.dtrue
+        )
+    else:
+        cc = jnp.einsum("gnd,gkd->gnk", q8, c8)
+        dot = cc.reshape(ng, g, g, k)[
+            :, jnp.arange(g), jnp.arange(g), :
+        ].reshape(n, k)
+    if metric == "dot":
+        return dot
+    if metric == "cosine":
+        den = mq[:, None] * mc
+        return jnp.where(den > 1e-30, dot / jnp.maximum(den, 1e-30), 0.0)
+    if metric != "euclidean":
+        raise ValueError(f"graph kernels do not support metric {metric!r}")
+    d2 = mq[:, None] ** 2 + mc ** 2 - 2.0 * dot
+    return -jnp.sqrt(jnp.maximum(d2, 0.0))
+
+
 def _nn_descent_body(metric, kind, d, m, sample, node_chunk, node_ids, adj, dist, store):
     """Trace-inlinable body of nn_descent_round."""
     n = node_ids.shape[0]
@@ -616,11 +692,7 @@ def _nn_descent_body(metric, kind, d, m, sample, node_chunk, node_ids, adj, dist
         )
         gq, sq, mq = _decode_rows(kind, d, store, safe_c)
         gc, sc_, mc = _decode_rows(kind, d, store, jnp.maximum(cand, 0))
-        sc = _block_scores(
-            metric, kind, d, store,
-            gq[:, None], None if sq is None else sq[:, None],
-            mq[:, None], gc, sc_, mc,
-        )[:, 0]
+        sc = _grouped_scores(metric, kind, store, gq, sq, mq, gc, sc_, mc)
         sc = jnp.where(fresh, sc, NEG_INF)
         cand = jnp.where(fresh, cand, -1)
         all_i = jnp.concatenate([nbrs, cand], axis=1)
