@@ -496,13 +496,37 @@ _ROUTE_SCHEMAS: list[tuple[str, str, str | None, str | None]] = [
 ]
 
 
-def build_openapi(app) -> dict:
+#: scoped doc modules, mirroring the reference's per-module utoipa docs
+#: (/root/reference/src/api/docs.rs:8-30): each name maps to a predicate
+#: over the route path.
+DOC_MODULES = {
+    "auth": lambda p: p.startswith("/auth"),
+    "collections": lambda p: p.startswith("/vectordb/collections")
+    and not any(
+        s in p
+        for s in ("/indexes", "/search", "/vectors", "/transactions",
+                  "/streaming", "/versions")
+    ),
+    "indexes": lambda p: "/indexes" in p,
+    "search": lambda p: "/search" in p,
+    "transactions": lambda p: "/transactions" in p,
+    "vectors": lambda p: "/vectors" in p and "/transactions" not in p
+    and "/streaming" not in p,
+    "versions": lambda p: "/versions" in p,
+    "streaming": lambda p: "/streaming" in p,
+}
+
+
+def build_openapi(app, module: str | None = None) -> dict:
     by_key = {(m, p): (req, resp) for m, p, req, resp in _ROUTE_SCHEMAS}
+    keep = DOC_MODULES.get(module) if module else None
     paths: dict[str, dict] = {}
     for route in app.router.routes():
         info = route.resource.get_info() if route.resource else {}
         path = info.get("path") or info.get("formatter")
         if not path or route.method in ("HEAD", "OPTIONS", "*"):
+            continue
+        if keep is not None and not keep(path):
             continue
         entry = paths.setdefault(path, {})
         method = route.method.lower()
@@ -527,7 +551,7 @@ def build_openapi(app) -> dict:
     return {
         "openapi": "3.0.3",
         "info": {
-            "title": "cosdata_tpu",
+            "title": f"cosdata_tpu — {module}" if module else "cosdata_tpu",
             "version": __version__,
             "description": "TPU-native vector database — REST API",
         },

@@ -189,6 +189,8 @@ class Server:
         r.add_get(ver + "/current", self.current_version)
 
         r.add_get("/api-docs/openapi.json", self.openapi)
+        # per-module scoped docs, mirroring /root/reference/src/api/docs.rs:8-30
+        r.add_get("/api-docs/{module}/openapi.json", self.openapi_module)
         r.add_get("/metrics", self.metrics)
 
     # ---------------------------------------------------------------- auth
@@ -624,6 +626,17 @@ class Server:
         from cosdata_tpu.api.openapi import build_openapi
 
         return web.json_response(build_openapi(self.app))
+
+    async def openapi_module(self, request):
+        from cosdata_tpu.api.openapi import DOC_MODULES, build_openapi
+
+        module = request.match_info["module"]
+        if module not in DOC_MODULES:
+            raise web.HTTPNotFound(
+                text=json.dumps({"error": f"unknown docs module {module!r}"}),
+                content_type="application/json",
+            )
+        return web.json_response(build_openapi(self.app, module))
 
 
 def _maybe_int(s: str):

@@ -328,6 +328,27 @@ class TestSmoke:
         assert body["openapi"].startswith("3.")
         assert "/vectordb/collections" in body["paths"]
 
+    @async_test
+    async def test_openapi_per_module(self, client):
+        # per-module scoped docs (reference src/api/docs.rs:8-30)
+        resp = await client.get("/api-docs/search/openapi.json")
+        body = await resp.json()
+        paths = list(body["paths"])
+        assert paths and all("/search" in p for p in paths)
+        assert (
+            "/vectordb/collections/{collection_id}/search/hybrid" in body["paths"]
+        )
+        resp = await client.get("/api-docs/auth/openapi.json")
+        body = await resp.json()
+        assert list(body["paths"]) == ["/auth/create-session"]
+        resp = await client.get("/api-docs/vectors/openapi.json")
+        body = await resp.json()
+        assert all(
+            "/vectors" in p and "/transactions" not in p for p in body["paths"]
+        )
+        resp = await client.get("/api-docs/nope/openapi.json")
+        assert resp.status == 404
+
 
 class TestHead:
     @async_test
