@@ -144,11 +144,18 @@ def _merge_candidates(
     return top_i, jnp.where(top_i >= 0, top_s, NEG_INF)
 
 
+def _visited_impl(b: int, id_span: int, budget: int = 256 << 20) -> str:
+    """Pick the beam visited-set implementation: exact per-query bit
+    tables unless (B, ceil(N/32)) u32 would blow the HBM budget."""
+    return "bitmask" if b * (-(-id_span // 32)) * 4 <= budget else "ring"
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "metric", "kind", "d", "d_true", "resolution", "ef0", "ef_upper",
         "expand", "vcap", "max_iters", "n_upper", "keep", "k", "rerank",
+        "visited_impl",
     ),
 )
 def _fused_search(
@@ -177,6 +184,7 @@ def _fused_search(
     alive,
     entry,  # () int32
     upper_levels,  # (n_upper,) int32 level numbers, descending
+    visited_impl: str = "bitmask",
 ):
     """Whole ANN search in ONE device program: upper-level descent ->
     level-0 beam -> tombstone mask -> exact rerank -> top-k. One dispatch
@@ -194,11 +202,13 @@ def _fused_search(
         ids, _ = HK.beam_search(
             metric, kind, d, ef_upper, expand, vcap, max_iters,
             q, store, adj_l, up_slot, start, use_row_of=True,
+            visited_impl=visited_impl,
         )
         start = ids[:, : max(ef_upper, 1)]
     ids, scores = HK.beam_search(
         metric, kind, d, ef0, expand, vcap, max_iters,
         q, store, adj0, up_slot, start, use_row_of=False,
+        visited_impl=visited_impl,
     )
     ids = ids[:, :keep]
     scores = scores[:, :keep]
@@ -910,6 +920,7 @@ class HNSWIndex:
         of per-upper-level results for levels <= record_from."""
         p = self.params
         per_level = {}
+        vimpl = _visited_impl(b, self.up_slot.shape[0])
         start = jnp.full((b, 1), self.entry, jnp.int32)
         for l in self._active_upper_levels():
             ef = ef0 if l <= record_from else ef_up
@@ -927,6 +938,7 @@ class HNSWIndex:
                 self.up_slot,
                 start,
                 use_row_of=True,
+                visited_impl=vimpl,
             )
             if l <= record_from:
                 per_level[l] = (ids, scores)
@@ -945,6 +957,7 @@ class HNSWIndex:
             self.up_slot,  # unused
             start,
             use_row_of=False,
+            visited_impl=vimpl,
         )
         return ids, scores, per_level
 
@@ -1332,6 +1345,7 @@ class HNSWIndex:
             self.alive,
             entry_dev,
             upper_dev,
+            visited_impl=_visited_impl(bp, self.up_slot.shape[0]),
         )
         return top_i[:b], top_s[:b]
 
@@ -1391,7 +1405,15 @@ class HNSWIndex:
         if self.n == 0:
             return None
         do_rerank = bool(rerank and self.store.keep_raw is True)
-        keep = min(5 * top_k if do_rerank else top_k, self.cap)
+        # rerank depth scales with quantization coarseness: 1-2 bit codes
+        # order so noisily that the true top-k routinely sits outside a 5x
+        # shortlist (the reference's factor, vector_store.rs:404-445 —
+        # calibrated for u8); 20x costs one slightly deeper gather+dot
+        factor = (
+            20 if self.store.kind == "subbyte" and self.store.resolution <= 2
+            else 5
+        )
+        keep = min(factor * top_k if do_rerank else top_k, self.cap)
         # pad batch to a power of two: compile-cache reuse across client sizes
         bp = max(8, 1 << int(np.ceil(np.log2(b))))
         if bp != b:

@@ -9,10 +9,17 @@ neighbor ids, one int8/f32 einsum for the distances, one fused top-k merge.
 Termination via `lax.while_loop` when every beam entry has been expanded
 (exactly best-first termination generalized to an E-wide wave).
 
-The visited set is a per-query ring buffer of recently visited ids (the
-reference's PerformantFixedSet, models/fixedset.rs:1-29, plays the same
-probabilistic role); re-visits past the ring capacity only cost duplicate
-score work — the in-beam dedup keeps results correct.
+The visited set (the reference's PerformantFixedSet,
+models/fixedset.rs:1-29) has two implementations:
+
+- ``bitmask`` (default when it fits): a per-query bit table (B, ceil(N/32))
+  uint32 — membership is one word gather + AND, marking is one scatter-add
+  of fresh bits. Exact dedup, O(k) per wave.
+- ``ring`` (fallback for huge id spans): a per-query ring buffer of
+  recently visited ids; the membership test broadcasts a (B, k, vcap)
+  compare per wave, which dominates beam time at large vcap — re-visits
+  past the ring capacity only cost duplicate score work (the in-beam
+  dedup keeps results correct).
 """
 
 from __future__ import annotations
@@ -31,16 +38,44 @@ class BeamState(NamedTuple):
     ids: jax.Array  # (B, EF) int32, -1 = empty slot
     scores: jax.Array  # (B, EF) f32 similarity (higher better)
     expanded: jax.Array  # (B, EF) bool
-    visited: jax.Array  # (B, VCAP) int32 ring buffer
+    visited: jax.Array  # (B, VCAP) int32 ring | (B, W) uint32 bit table
     t: jax.Array  # () int32 iteration counter
 
 
-def _init_beam(metric, kind, d, ef, vcap, q, store, start_ids):
+def _probe_bits(visited, rows_iota, ids):
+    """Bit-table membership probe: (seen (B,k) bool, word idx, bit value).
+
+    ids < 0 probe word 0 — callers mask them out of `fresh` anyway."""
+    safe = jnp.maximum(ids, 0)
+    word = jnp.right_shift(safe, 5)
+    bitv = jnp.left_shift(jnp.uint32(1), (safe & 31).astype(jnp.uint32))
+    got = visited[rows_iota, word]
+    return (got & bitv) != 0, word, bitv
+
+
+def _mark_bits(visited, rows_iota, word, bitv, fresh):
+    """Set the bits of `fresh` ids. Scatter-ADD is exact OR here: each
+    fresh id is wave-unique (unique_mask_ids) and its bit unset (~seen),
+    so every (row, word, bit) contribution happens at most once."""
+    add = jnp.where(fresh, bitv, jnp.uint32(0))
+    return visited.at[rows_iota, word].add(add)
+
+
+def _init_beam(metric, kind, d, ef, vcap, q, store, start_ids, bitmask_w=0):
     """Build the initial beam from (B, S) start ids (-1 padded)."""
     b, s = start_ids.shape
     uniq = unique_mask_ids(start_ids)
     scores = scores_gathered(metric, kind, d, q, store, start_ids)
     scores = jnp.where(uniq, scores, NEG_INF)
+    if bitmask_w:
+        rows_iota = jnp.arange(b)[:, None]
+        visited = jnp.zeros((b, bitmask_w), jnp.uint32)
+        seen, word, bitv = _probe_bits(visited, rows_iota, start_ids)
+        visited = _mark_bits(
+            visited, rows_iota, word, bitv, uniq & (start_ids >= 0)
+        )
+    else:
+        visited = jnp.full((b, vcap), -1, jnp.int32)
     if s < ef:
         scores = jnp.pad(scores, ((0, 0), (0, ef - s)), constant_values=NEG_INF)
         start_ids = jnp.pad(start_ids, ((0, 0), (0, ef - s)), constant_values=-1)
@@ -51,7 +86,7 @@ def _init_beam(metric, kind, d, ef, vcap, q, store, start_ids):
         ids=top_ids,
         scores=top_scores,
         expanded=top_ids < 0,
-        visited=jnp.full((b, vcap), -1, jnp.int32),
+        visited=visited,
         t=jnp.zeros((), jnp.int32),
     )
 
@@ -59,7 +94,8 @@ def _init_beam(metric, kind, d, ef, vcap, q, store, start_ids):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "metric", "kind", "d", "ef", "expand", "vcap", "max_iters", "use_row_of",
+        "metric", "kind", "d", "ef", "expand", "vcap", "max_iters",
+        "use_row_of", "visited_impl",
     ),
 )
 def beam_search(
@@ -76,6 +112,7 @@ def beam_search(
     row_of: jax.Array,  # (capacity,) int32 node id -> adjacency row (or identity)
     start_ids: jax.Array,  # (B, S) int32 entry candidates, -1 padded
     use_row_of: bool = True,
+    visited_impl: str = "bitmask",
 ):
     """One-level batched beam search. Returns (ids (B, EF), scores (B, EF))."""
     # a wave cannot expand more entries than the beam holds
@@ -89,8 +126,13 @@ def beam_search(
     k = expand * m
     # ring capacity must hold whole waves
     vcap = max(vcap // k, 1) * k
+    # id span: candidates are node ids in [0, len(row_of)) for both the
+    # row_of-mapped upper levels and the identity level 0
+    bitmask_w = -(-row_of.shape[0] // 32) if visited_impl == "bitmask" else 0
 
-    state = _init_beam(metric, kind, d, ef, vcap, q, store, start_ids)
+    state = _init_beam(
+        metric, kind, d, ef, vcap, q, store, start_ids, bitmask_w
+    )
     b = state.ids.shape[0]
     rows_iota = jnp.arange(b)[:, None]
 
@@ -115,20 +157,31 @@ def beam_search(
         nbrs = adj_table[jnp.maximum(rows, 0)]  # (B, E, m)
         nbrs = jnp.where(rows[:, :, None] >= 0, nbrs, -1).reshape(b, k)
 
-        # 3. dedup: wave-unique, not in beam, not recently visited
+        # 3. dedup: wave-unique and never scored before
         uniq = unique_mask_ids(nbrs)
-        in_beam = jnp.any(nbrs[:, :, None] == st.ids[:, None, :], axis=-1)
-        in_vis = jnp.any(nbrs[:, :, None] == st.visited[:, None, :], axis=-1)
-        fresh = uniq & ~in_beam & ~in_vis & (nbrs >= 0)
+        if bitmask_w:
+            # every id ever scored has its bit set (start ids at init,
+            # candidates as they are scored), so the probe subsumes the
+            # in-beam check — O(k) words vs the ring's (k, vcap) compare
+            seen, word, bitv = _probe_bits(st.visited, rows_iota, nbrs)
+            fresh = uniq & ~seen & (nbrs >= 0)
+            visited = _mark_bits(st.visited, rows_iota, word, bitv, fresh)
+        else:
+            in_beam = jnp.any(nbrs[:, :, None] == st.ids[:, None, :], axis=-1)
+            in_vis = jnp.any(
+                nbrs[:, :, None] == st.visited[:, None, :], axis=-1
+            )
+            fresh = uniq & ~in_beam & ~in_vis & (nbrs >= 0)
 
         # 4. score fresh candidates
         nscores = scores_gathered(metric, kind, d, q, store, nbrs)
         nscores = jnp.where(fresh, nscores, NEG_INF)
         nids = jnp.where(fresh, nbrs, -1)
 
-        # 5. record visits in the ring buffer (uniform per-row append)
-        pos = (st.t * k) % vcap
-        visited = jax.lax.dynamic_update_slice(st.visited, nids, (0, pos))
+        if not bitmask_w:
+            # 5. record visits in the ring buffer (uniform per-row append)
+            pos = (st.t * k) % vcap
+            visited = jax.lax.dynamic_update_slice(st.visited, nids, (0, pos))
 
         # 6. merge into beam
         all_scores = jnp.concatenate([st.scores, nscores], axis=1)

@@ -302,8 +302,10 @@ class TestServedSharded:
                 )
                 assert r.status == 200, await r.text()
                 txn_id = (await r.json())["transaction_id"]
+                # /upsert takes the UpsertDto envelope; /vectors takes a
+                # single CreateVectorDto (transactions/controller.rs:121,224)
                 r = await client.post(
-                    f"/vectordb/collections/hsc/transactions/{txn_id}/vectors",
+                    f"/vectordb/collections/hsc/transactions/{txn_id}/upsert",
                     json={"vectors": [
                         {"id": f"v{i}", "dense_values": x[i].tolist()}
                         for i in range(200)
