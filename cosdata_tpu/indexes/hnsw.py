@@ -753,7 +753,13 @@ class HNSWIndex:
         heur = p.neighbor_selection == "heuristic"
         if level >= 1 and n_mem <= self.UPPER_EXACT_MAX:
             t0 = time.time()
-            mp = self._bucket(n_mem, 512)
+            # TWO shapes for all upper-exact levels (512 and the max):
+            # each distinct shape costs a fresh ~20-50 s remote compile on
+            # a cold cache (the exp_r3 1M build trace's "L2 exact 52.5s /
+            # L4 17.3s / L5 0.1s" is compile, not compute — L5 reused L4's
+            # bucket), while padding a 973-member level to 12288 costs ~ms
+            # of extra MXU work and a transient (Mp, Mp) f32 block
+            mp = 512 if n_mem <= 512 else self.UPPER_EXACT_MAX
             mem_pad = np.full(mp, -1, np.int32)
             mem_pad[:n_mem] = members
             slots_pad = np.full(mp, -1, np.int32)

@@ -149,7 +149,11 @@ def fused_flat_search_codes(
       the dequantized query codes: no f32 query upload exists at all.
     """
     from cosdata_tpu.ops import distance as D
-    from cosdata_tpu.ops.storage import _cos_or_dot, _scores_gathered
+    from cosdata_tpu.ops.storage import (
+        _cos_or_dot,
+        _diag_dot as _Sdiag,
+        _scores_gathered,
+    )
 
     b = q.data.shape[0]
     capacity = store.data.shape[0]
@@ -206,10 +210,7 @@ def fused_flat_search_codes(
             q_deq = jnp.where(lanes[None, :], q_deq, 0.0)
             safe = jnp.maximum(ids, 0)
             cand = raw[safe].astype(jnp.float32)
-            dot = jnp.einsum(
-                "qd,qkd->qk", q_deq, cand,
-                precision=jax.lax.Precision.HIGHEST,
-            )
+            dot = _Sdiag(q_deq, cand, int8=False)
             qm = jnp.linalg.norm(q_deq, axis=-1)
             cm = jnp.linalg.norm(cand, axis=-1)
             m = "euclidean" if metric == "hamming" else metric
@@ -324,9 +325,7 @@ def fused_flat_search_codes(
         q_deq = jnp.where(lanes[None, :], q_deq, 0.0)
         safe = jnp.maximum(ids, 0)
         cand = raw[safe].astype(jnp.float32)  # (B, kf, D)
-        dot = jnp.einsum(
-            "qd,qkd->qk", q_deq, cand, precision=jax.lax.Precision.HIGHEST
-        )
+        dot = _Sdiag(q_deq, cand, int8=False)
         qm = jnp.linalg.norm(q_deq, axis=-1)
         cm = jnp.linalg.norm(cand, axis=-1)
         m = "euclidean" if metric == "hamming" else metric

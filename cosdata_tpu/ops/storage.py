@@ -685,6 +685,39 @@ def _write_rows(store, batch, offset: int, kind: str):
     )
 
 
+def _diag_dot(qrows, crows, int8: bool, g_max: int = 8):
+    """Row-wise dot of qrows (B, D) against per-row candidate blocks
+    crows (B, K, D) -> (B, K).
+
+    The natural batched-GEMV einsum "qd,qkd->qk" never touches the MXU
+    (measured ~10 GMAC/s at 1M x 64 x 768 int8 on v5e — pure VPU);
+    grouping g rows against the CONCATENATION of their g candidate sets
+    turns it into batched (g, D) @ (D, gK) GEMMs — g x redundant FLOPs,
+    but MXU-placed — and the wanted scores are the block-diagonal
+    slices. Falls back to the GEMV form when B has no small factor."""
+    b, k = crows.shape[0], crows.shape[1]
+    d = qrows.shape[-1]
+    g = 1
+    while g < g_max and b % (g * 2) == 0:
+        g *= 2
+    kwargs = (
+        dict(preferred_element_type=jnp.int32)
+        if int8
+        else dict(precision=jax.lax.Precision.HIGHEST)
+    )
+    if g == 1:
+        return jnp.einsum("qd,qkd->qk", qrows, crows, **kwargs)
+    ng = b // g
+    cc = jnp.einsum(
+        "gnd,gkd->gnk",
+        qrows.reshape(ng, g, d),
+        crows.reshape(ng, g * k, d),
+        **kwargs,
+    )
+    ar = jnp.arange(g)
+    return cc.reshape(ng, g, g, k)[:, ar, ar, :].reshape(b, k)
+
+
 def _cos_or_dot(metric, dot, qmags, cmags):
     if metric == "dot":
         return dot
@@ -703,9 +736,7 @@ def _scores_gathered(metric: str, kind: str, d: int, q, store, ids: jax.Array):
     if kind == "u8":
         cdata = store.data[safe]  # (Q, K, D) int8
         csums = store.sums[safe]
-        cc = jnp.einsum(
-            "qd,qkd->qk", q.data, cdata, preferred_element_type=jnp.int32
-        )
+        cc = _diag_dot(q.data, cdata, int8=True)
         code_dot = (
             cc + 128 * (q.sums[:, None] + csums) + d * 128 * 128
         ).astype(jnp.float32)
@@ -725,9 +756,7 @@ def _scores_gathered(metric: str, kind: str, d: int, q, store, ids: jax.Array):
             bits = Q.unpack_bits_from_u32(words.reshape(qn * kn, w), d)
             contrib = bits.reshape(qn, kn, d).astype(jnp.int8) << (res - 1 - p)
             cvals = contrib if cvals is None else cvals + contrib
-        code_dot = jnp.einsum(
-            "qd,qkd->qk", qvals, cvals, preferred_element_type=jnp.int32
-        ).astype(jnp.float32)
+        code_dot = _diag_dot(qvals, cvals, int8=True).astype(jnp.float32)
         csums = store.sums[safe].astype(jnp.float32)
         dot = (
             q.a * q.a * code_dot
@@ -737,12 +766,7 @@ def _scores_gathered(metric: str, kind: str, d: int, q, store, ids: jax.Array):
         return _cos_or_dot(metric, dot, q.mags, store.mags[safe])
     # float
     cand = store.data[safe].astype(jnp.float32)
-    dot = jnp.einsum(
-        "qd,qkd->qk",
-        q.data.astype(jnp.float32),
-        cand,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    dot = _diag_dot(q.data.astype(jnp.float32), cand, int8=False)
     return _cos_or_dot(metric, dot, q.mags, store.mags[safe])
 
 
@@ -750,9 +774,7 @@ def _scores_gathered(metric: str, kind: str, d: int, q, store, ids: jax.Array):
 def _rerank(metric: str, q_raw: jax.Array, raw: jax.Array, ids: jax.Array):
     safe = jnp.maximum(ids, 0)
     cand = raw[safe].astype(jnp.float32)  # (Q, K, D); raw may be f16
-    dot = jnp.einsum(
-        "qd,qkd->qk", q_raw, cand, precision=jax.lax.Precision.HIGHEST
-    )
+    dot = _diag_dot(q_raw, cand, int8=False)
     qm = jnp.linalg.norm(q_raw, axis=-1)
     cm = jnp.linalg.norm(cand, axis=-1)
     if metric == "hamming":
