@@ -232,3 +232,119 @@ def csr_segment_topk(
         top_i = jnp.pad(top_i, ((0, 0), (0, k - top_i.shape[1])), constant_values=-1)
         top_s = jnp.pad(top_s, ((0, 0), (0, k - top_s.shape[1])))
     return top_s, top_i
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+def head_matmul_topk(
+    q_head: jax.Array,  # (B, Dh) f32 query weights over head dims (0 absent)
+    head_codes: jax.Array,  # (Dh, n_cap) u8 dense head matrix (0 = no posting)
+    alive: jax.Array,  # (n_cap,) bool
+    k: int,
+    chunk: int,
+):
+    """Candidate nomination over the DENSE HEAD of the inverted index.
+
+    High-document-frequency dims are exactly the ones whose posting lists
+    blow any scan budget (the reference truncates them via early
+    termination, sparse_ann_query.rs:89-126, trading recall). TPU-native
+    they become a dense (Dh, n_cap) u8 matrix scanned by MXU matmul —
+    every posting of every head dim is scored on every query with NO
+    budget, no gather, no scatter: scores = q_head @ head_codes, chunked
+    along n_cap with a running exact top-k merge (the flat_scan pattern).
+
+    Returns (scores (B, k) f32, ids (B, k) int32) — head-part scores only;
+    the caller rescores nominated candidates exactly from raw rows.
+    """
+    b = q_head.shape[0]
+    dh, n_cap = head_codes.shape
+    qh = q_head.astype(jnp.bfloat16)
+
+    def body(c, carry):
+        top_s, top_i = carry
+        blk = jax.lax.dynamic_slice(head_codes, (0, c * chunk), (dh, chunk))
+        sc = jax.lax.dot_general(
+            qh,
+            blk.astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (B, chunk)
+        al = jax.lax.dynamic_slice(alive, (c * chunk,), (chunk,))
+        # score 0 = no overlap with any head dim (buckets >= 0, weights
+        # >= 0): not a candidate, same "contributes nothing" semantics as
+        # the posting walk
+        sc = jnp.where(al[None, :] & (sc > 0), sc, NEG_INF)
+        if jax.default_backend() == "tpu":
+            # hardware windowed-max shortlist; recall-uncritical (the
+            # shortlist is exact-reranked downstream)
+            c_s, c_pos = jax.lax.approx_max_k(
+                sc, min(k, chunk), recall_target=0.95
+            )
+        else:
+            # approx_max_k compiles pathologically slowly on XLA:CPU
+            # (~2 min at chunk 4096 — the flat_scan router avoids it off-
+            # TPU for the same reason)
+            c_s, c_pos = jax.lax.top_k(sc, min(k, chunk))
+        c_i = c_pos.astype(jnp.int32) + c * chunk
+        all_s = jnp.concatenate([top_s, c_s], axis=1)
+        all_i = jnp.concatenate([top_i, c_i], axis=1)
+        top_s, pos = jax.lax.top_k(all_s, k)
+        top_i = jnp.take_along_axis(all_i, pos, axis=1)
+        return top_s, top_i
+
+    init = (
+        jnp.full((b, k), NEG_INF, jnp.float32),
+        jnp.full((b, k), -1, jnp.int32),
+    )
+    top_s, top_i = jax.lax.fori_loop(0, n_cap // chunk, body, init)
+    top_i = jnp.where(top_s > NEG_INF / 2, top_i, -1)
+    top_s = jnp.where(top_s > NEG_INF / 2, top_s, 0.0)
+    return top_s, top_i
+
+
+@functools.partial(jax.jit, static_argnames=("vocab_pad", "k"))
+def rescore_ids_topk(
+    cand: jax.Array,  # (B, C) int32 candidate doc ids (-1 = empty slot)
+    doc_dims: jax.Array,  # (n_cap, R) int32 compact dim idx per doc, 0-pad
+    doc_vals: jax.Array,  # (n_cap, R) f32 raw values per doc, 0-padded
+    q_dim_idx: jax.Array,  # (B, QD) int32 compact idx of query dims (-1 pad)
+    q_weights: jax.Array,  # (B, QD) f32 query weight per dim (qv / idf)
+    alive: jax.Array,  # (n_cap,) bool
+    vocab_pad: int,
+    k: int,
+):
+    """EXACT raw-row rescore of an explicit (small) candidate set.
+
+    score(doc) = sum_j qdense[dim_j] * val_j over the doc's own row —
+    the reference's rerank_sparse_with_raw_values (inverted/mod.rs:331-381)
+    applied to the union of head-matmul and tail-gather nominations.
+    Duplicate candidate ids carry identical scores; the caller dedups.
+
+    Returns (scores (B, k) f32, ids (B, k) int32).
+    """
+    b, c = cand.shape
+    rows_q = jax.lax.broadcasted_iota(jnp.int32, q_dim_idx.shape, 0)
+    safe_qd = jnp.where(q_dim_idx >= 0, q_dim_idx, vocab_pad)
+    qdense = jnp.zeros((b, vocab_pad + 1), jnp.float32)
+    qdense = qdense.at[rows_q, safe_qd].add(
+        jnp.where(q_dim_idx >= 0, q_weights, 0.0), mode="drop"
+    )
+    safe_c = jnp.maximum(cand, 0)
+    dd = doc_dims[safe_c]  # (B, C, R)
+    dv = doc_vals[safe_c]  # (B, C, R)
+    r = dd.shape[2]
+    qv = jnp.take_along_axis(qdense, dd.reshape(b, -1), axis=1).reshape(
+        b, c, r
+    )
+    sc = jnp.sum(qv * dv, axis=-1)
+    ok = (cand >= 0) & alive[safe_c]
+    sc = jnp.where(ok, sc, NEG_INF)
+    top_s, pos = jax.lax.top_k(sc, min(k, c))
+    top_i = jnp.take_along_axis(cand, pos, axis=1)
+    top_i = jnp.where(top_s > NEG_INF / 2, top_i, -1)
+    top_s = jnp.where(top_s > NEG_INF / 2, top_s, 0.0)
+    if top_i.shape[1] < k:
+        top_i = jnp.pad(
+            top_i, ((0, 0), (0, k - top_i.shape[1])), constant_values=-1
+        )
+        top_s = jnp.pad(top_s, ((0, 0), (0, k - top_s.shape[1])))
+    return top_s, top_i
