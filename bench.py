@@ -19,16 +19,101 @@ key for that section instead of zeroing the headline.
 
 import json
 import os
+import signal
 import sys
+import threading
 import time
 import traceback
 
 import numpy as np
 
+_T_PROC0 = time.time()  # process wall-clock origin (imports count too)
+
 
 def _progress(msg):
     """Section progress to stderr (stdout carries ONLY the JSON line)."""
     print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
+class Emitter:
+    """Guarantees the ONE JSON line reaches stdout no matter how the bench
+    dies (VERDICT r3 missing #1: the driver killed the r3 bench mid-section
+    and every number was lost).
+
+    Three independent emission paths, first wins:
+    - normal completion (main calls finish())
+    - a SIGTERM/SIGINT handler (the driver's `timeout` sends SIGTERM)
+    - a daemon WATCHDOG THREAD that fires at the deadline even while the
+      main thread is blocked inside a jax device call (signal handlers
+      can't run there — the C call never returns to the bytecode loop;
+      a thread can, because jax releases the GIL)
+    Every section also checkpoints the partial dict to a file."""
+
+    def __init__(self, out: dict, deadline_s: float):
+        self.out = out
+        self.deadline = _T_PROC0 + deadline_s
+        self._lock = threading.Lock()
+        self._emitted = False
+        self._done = threading.Event()
+        signal.signal(signal.SIGTERM, self._on_signal)
+        signal.signal(signal.SIGINT, self._on_signal)
+        self._thread = threading.Thread(target=self._watch, daemon=True)
+        self._thread.start()
+
+    def time_left(self) -> float:
+        return self.deadline - time.time()
+
+    def checkpoint(self) -> None:
+        """Persist the partial result dict (crash forensics; the stdout
+        contract still only ever carries the single final JSON line)."""
+        try:
+            with open("/tmp/cosdata_bench_partial.json", "w") as f:
+                json.dump(self.out, f)
+        except Exception:
+            pass
+
+    def _compose(self) -> dict:
+        out = self.out
+        flat_qps = out.get("flat_qps", 0.0) or 0.0
+        cpu_qps = out.get("cpu_bruteforce_qps") or 0.0
+        headline = {
+            "metric": f"dense_u8_qps_at_recall10_{out.get('n', 0)//1000}k_768d_clustered",
+            "value": round(flat_qps, 1),
+            "unit": "qps",
+            "vs_baseline": round(flat_qps / cpu_qps, 3) if cpu_qps else None,
+            "recall10": out.get("flat_recall10"),
+        }
+        headline.update(out)
+        return headline
+
+    def _emit(self, how: str) -> None:
+        with self._lock:
+            if self._emitted:
+                return
+            self._emitted = True
+            self.out["emitted_by"] = how
+            self.out["bench_total_s"] = round(time.time() - _T_PROC0, 1)
+            print(json.dumps(self._compose()), flush=True)
+
+    def _on_signal(self, signum, frame):
+        self._emit(f"signal_{signum}")
+        os._exit(0)
+
+    def _watch(self):
+        while not self._done.is_set():
+            left = self.deadline - time.time()
+            if left <= 0:
+                break
+            self._done.wait(min(left, 5.0))
+        if self._done.is_set():
+            return
+        _progress("watchdog deadline reached — emitting partial results")
+        self._emit("watchdog")
+        os._exit(0)
+
+    def finish(self) -> None:
+        self._done.set()
+        self._emit("complete")
 
 
 def gen_clustered(n, d, nq, seed=0):
@@ -147,18 +232,23 @@ def main():
     d, nq, k = 768, 1024, 10
     out = {"n": n, "d": d}
 
-    # wall-clock deadline: sections run headline-first, so if remote
-    # compiles / tunnel stalls eat the budget we still emit the JSON line
-    # with the headline metric instead of being killed mid-section
-    deadline_s = float(os.environ.get("BENCH_DEADLINE_S", "3300"))
-    t_bench0 = time.time()
+    # wall-clock deadline: sections run value-first, so if remote compiles /
+    # tunnel stalls eat the budget the watchdog still emits the JSON line
+    # with everything measured so far. Default is set WELL under the driver
+    # budget that killed the r3 run (r2's full pass was ~1000 s and
+    # survived; r3's deadline of 3300 s did not).
+    deadline_s = float(os.environ.get("BENCH_DEADLINE_S", "900"))
+    emitter = Emitter(out, deadline_s)
 
-    def deadline_check(section: str) -> None:
+    def deadline_check(section: str, need_s: float = 30.0) -> None:
         """Raises inside a section's try: the except records it and the
-        bench moves on, so the final JSON line always gets printed."""
-        if time.time() - t_bench0 > deadline_s:
+        bench moves on, so the final JSON line always gets printed.
+        ``need_s``: don't START a section the remaining budget can't fit —
+        a section killed mid-flight wastes the time it did spend."""
+        if emitter.time_left() < need_s:
             out.setdefault("skipped_sections", []).append(section)
-            _progress(f"skipping {section}: past {deadline_s:.0f}s deadline")
+            _progress(f"skipping {section}: {emitter.time_left():.0f}s left "
+                      f"< {need_s:.0f}s needed")
             raise TimeoutError(f"{section}: past bench deadline, skipped")
 
     # probe the device in a killable child, overlapped with corpus gen:
@@ -176,7 +266,7 @@ def main():
 
     if probe is not None:
         ok, probe_s, detail = wait_device_probe(
-            probe, float(os.environ.get("BENCH_PROBE_TIMEOUT_S", "1200"))
+            probe, float(os.environ.get("BENCH_PROBE_TIMEOUT_S", "420"))
         )
         out["device_probe_s"] = round(probe_s, 1)
         if not ok:
@@ -318,9 +408,10 @@ def main():
         out["flat_error"] = traceback.format_exc(limit=2)
 
     _progress("flat done")
+    emitter.checkpoint()
     # ---- HNSW u8 (graph engine; serves filtered + beyond-threshold) ----
     try:
-        deadline_check("hnsw")
+        deadline_check("hnsw", need_s=180)
         # keep_raw="host": raw f32 rows stay in host RAM for the exact
         # rerank. ship_dtype="auto" probes the tunnel once — u8 codes on a
         # slow link, f32 on a fast one (host quantize passes dominate there)
@@ -364,38 +455,10 @@ def main():
         out["hnsw_error"] = traceback.format_exc(limit=2)
 
     _progress("hnsw done")
-    # ---- quaternary 2-bit on-chip operating point ----
-    try:
-        deadline_check("quaternary")
-        qn = min(n, 262_144)  # 2-bit codes: memory-tight configs
-        fq = FlatIndex(dim=d, kind="subbyte", resolution=2, initial_capacity=qn,
-                       ship_dtype="auto")
-        t0 = time.time()
-        for s in range(0, qn, 131072):
-            fq.add(x[s : s + 131072])
-        q_build_s = time.time() - t0
-        qt = true_ids if qn == n else brute_topk(q, x[:qn], k)
-        # 2-bit first-stage ordering is coarse: rerank a 20x shortlist
-        qgot, _ = fq.search(q, top_k=k, rerank=True, rerank_factor=20)
-        qrec = recall_of(qt, qgot, k)
-        t0 = time.time()
-        qouts = [fq.search_device(q, top_k=k, rerank=True, rerank_factor=20)
-                 for _ in range(3)]
-        qouts = _jax.device_get(qouts)
-        out["quaternary"] = {
-            "n": qn,
-            "recall10": round(qrec, 4),
-            "qps": round(3 * nq / (time.time() - t0), 1),
-            "build_s": round(q_build_s, 1),
-        }
-        del fq
-    except Exception:
-        out["quaternary_error"] = traceback.format_exc(limit=2)
-
-    _progress("quaternary done")
+    emitter.checkpoint()
     # ---- sparse inverted index (SPLADE shape) + BM25 + hybrid ----
     try:
-        deadline_check("sparse")
+        deadline_check("sparse", need_s=150)
         from cosdata_tpu.indexes.inverted import InvertedIndex
 
         sn, vocab, nnz_doc, nnz_q = min(n, 500_000), 30_000, 64, 24
@@ -492,7 +555,7 @@ def main():
         out["sparse_error"] = traceback.format_exc(limit=2)
 
     try:
-        deadline_check("bm25")
+        deadline_check("bm25", need_s=90)
         from cosdata_tpu.indexes.tf_idf import TFIDFIndex
 
         bn = min(n, 100_000)
@@ -552,12 +615,22 @@ def main():
         out["bm25_error"] = traceback.format_exc(limit=2)
 
     _progress("sparse/bm25 done")
+    emitter.checkpoint()
+    # ---- hybrid RRF (dense + sparse legs fused, search/repo.rs:168-341) ----
+    try:
+        deadline_check("hybrid", need_s=90)
+        run_hybrid_section(out, x, q, n, d, k, rng_tuned, _jax)
+    except Exception:
+        out["hybrid_error"] = traceback.format_exc(limit=2)
+
+    _progress("hybrid done")
+    emitter.checkpoint()
     # ---- uniform (adversarial) geometry: HNSW operating point ----
     # uniform random high-dim is the hardest case for graph ANN; report the
     # ef ladder and the first operating point with recall@10 >= 0.95
     # (VERDICT r1 weak #1: defaults must hold on hard geometry too)
     try:
-        deadline_check("uniform")
+        deadline_check("uniform", need_s=120)
         un = min(n, 100_000)
         rngu = np.random.default_rng(11)
         ux = rngu.uniform(-1, 1, size=(un, d)).astype(np.float32)
@@ -601,90 +674,136 @@ def main():
         out["uniform_error"] = traceback.format_exc(limit=2)
 
     _progress("uniform done")
-    # ---- hybrid RRF (dense + sparse legs fused, search/repo.rs:168-341) ----
+    emitter.checkpoint()
+    # ---- quaternary 2-bit on-chip operating point ----
     try:
-        deadline_check("hybrid")
-        from cosdata_tpu.indexes.inverted import InvertedIndex as _Inv
-
-        hb_n = min(n, 100_000)
-        hflat = FlatIndex(dim=d, kind="u8", range_=rng_tuned,
-                          initial_capacity=hb_n, ship_dtype="auto")
-        for s in range(0, hb_n, 131072):
-            hflat.add(x[s : s + 131072])
-        rng = np.random.default_rng(13)
-        nnz_doc, nnz_q, vocab = 64, 24, 30_000
-        hdims = (rng.pareto(1.2, size=hb_n * nnz_doc) * 50).astype(np.int64) % vocab
-        hvals = rng.gamma(2.0, 0.8, size=hb_n * nnz_doc).astype(np.float32)
-        hinv = _Inv(quantization=64, sample_threshold=256)
-        for i in range(256):
-            lo = i * nnz_doc
-            hinv.add(i, hdims[lo : lo + nnz_doc], hvals[lo : lo + nnz_doc])
-        hinv.add_batch(
-            np.arange(256, hb_n),
-            hdims[256 * nnz_doc :], hvals[256 * nnz_doc :],
-            np.full(hb_n - 256, nnz_doc),
-        )
-        hinv.flush()
-        nq_h, fetch = 64, 3 * k
-        hq_dense = q[:nq_h]
-        hq_sparse = []
-        for j in range(nq_h):
-            dd = hdims[j * nnz_doc : (j + 1) * nnz_doc]
-            vv = hvals[j * nnz_doc : (j + 1) * nnz_doc]
-            pick = np.argsort(dd)[-nnz_q:]  # rarest dims (see sparse section)
-            hq_sparse.append(np.stack([dd[pick], vv[pick]], axis=1))
-
-        def hybrid_batch():
-            # overlap the legs: the dense dispatch is async; the sparse
-            # leg's host prep + device dispatch run while it executes
-            # (the reference joins its legs too, search/repo.rs:343-555)
-            d_out = hflat.search_device(hq_dense, top_k=fetch, rerank=True)
-            s_ids, _ = hinv.search(hq_sparse, top_k=fetch)
-            d_ids = np.asarray(_jax.device_get(d_out)[0], np.int64)
-            # vectorized RRF: score 1/(rank + 60 + eps) summed across legs
-            rr = 1.0 / (np.arange(fetch) + 60.0 + np.finfo(np.float32).eps)
-            fused_ids = np.full((nq_h, k), -1, np.int64)
-            for i in range(nq_h):
-                sc: dict = {}
-                for ids_leg in (d_ids[i], np.asarray(s_ids[i])):
-                    for r_, id_ in enumerate(ids_leg[:fetch]):
-                        if id_ >= 0:
-                            sc[int(id_)] = sc.get(int(id_), 0.0) + rr[r_]
-                top = sorted(sc.items(), key=lambda kv: -kv[1])[:k]
-                fused_ids[i, : len(top)] = [t[0] for t in top]
-            return fused_ids
-
-        hybrid_batch()  # compile both legs
+        deadline_check("quaternary", need_s=60)
+        qn = min(n, 262_144)  # 2-bit codes: memory-tight configs
+        fq = FlatIndex(dim=d, kind="subbyte", resolution=2, initial_capacity=qn,
+                       ship_dtype="auto")
         t0 = time.time()
-        for _ in range(3):
-            fused_ids = hybrid_batch()
-        hy_qps = 3 * nq_h / (time.time() - t0)
-        # sanity: doc j should fuse into query j's results (its own terms +
-        # its own dense vector)
-        hy_hit = np.mean([int(j in set(map(int, fused_ids[j]))) for j in range(nq_h)])
-        out["hybrid"] = {
-            "n_docs": hb_n,
-            "qps": round(hy_qps, 1),
-            "self_recall": round(float(hy_hit), 3),
+        for s in range(0, qn, 131072):
+            fq.add(x[s : s + 131072])
+        q_build_s = time.time() - t0
+        qt = true_ids if qn == n else brute_topk(q, x[:qn], k)
+        # 2-bit first-stage ordering is coarse: rerank a 20x shortlist
+        qgot, _ = fq.search(q, top_k=k, rerank=True, rerank_factor=20)
+        qrec = recall_of(qt, qgot, k)
+        t0 = time.time()
+        qouts = [fq.search_device(q, top_k=k, rerank=True, rerank_factor=20)
+                 for _ in range(3)]
+        qouts = _jax.device_get(qouts)
+        out["quaternary"] = {
+            "n": qn,
+            "recall10": round(qrec, 4),
+            "qps": round(3 * nq / (time.time() - t0), 1),
+            "build_s": round(q_build_s, 1),
         }
-        del hflat, hinv
+        del fq
     except Exception:
-        out["hybrid_error"] = traceback.format_exc(limit=2)
+        out["quaternary_error"] = traceback.format_exc(limit=2)
 
+    _progress("quaternary done")
     out["host_rss_gb"] = round(host_rss_gb(), 2)
     dm = device_mem_gb()
     if dm is not None:
         out["device_mem_gb"] = dm
+    emitter.finish()
 
-    headline = {
-        "metric": f"dense_u8_qps_at_recall10_{n//1000}k_768d_clustered",
-        "value": round(flat_qps, 1),
-        "unit": "qps",
-        "vs_baseline": round(flat_qps / cpu_qps, 3) if cpu_qps else None,
-        "recall10": out.get("flat_recall10"),
+
+def rrf_fuse(id_lists, k: int, fetch: int) -> np.ndarray:
+    """Vectorized reciprocal-rank fusion (k_rrf=60, the reference's
+    constant, search/repo.rs:343-555): legs are (B, fetch) id arrays in
+    rank order; returns fused (B, k) ids. Sort-by-id + run-boundary
+    segment sums — no per-query Python loop (VERDICT r3 weak #6)."""
+    rr = (1.0 / (np.arange(fetch) + 60.0)).astype(np.float32)
+    ids = np.concatenate([leg[:, :fetch] for leg in id_lists], axis=1)
+    sc = np.broadcast_to(rr, (ids.shape[0], fetch))
+    sc = np.concatenate([sc] * len(id_lists), axis=1).copy()
+    sc[ids < 0] = 0.0
+    order = np.argsort(ids, axis=1, kind="stable")
+    ids_s = np.take_along_axis(ids, order, axis=1)
+    sc_s = np.take_along_axis(sc, order, axis=1)
+    csum = np.cumsum(sc_s, axis=1)
+    last = np.ones_like(ids_s, bool)
+    last[:, :-1] = ids_s[:, :-1] != ids_s[:, 1:]
+    first = np.ones_like(ids_s, bool)
+    first[:, 1:] = last[:, :-1]
+    # total of each run lands at its LAST slot: csum[last] - csum[before first]
+    before = np.where(first, csum - sc_s, 0.0)
+    seg_start_val = np.maximum.accumulate(np.where(first, before, -np.inf), axis=1)
+    total = csum - seg_start_val
+    fused = np.where(last & (ids_s >= 0), total, -np.inf)
+    top = np.argpartition(-fused, min(k, fused.shape[1] - 1), axis=1)[:, :k]
+    rows = np.arange(fused.shape[0])[:, None]
+    ordk = np.argsort(-fused[rows, top], axis=1)
+    top = top[rows, ordk]
+    out_ids = ids_s[rows, top]
+    out_ids[fused[rows, top] == -np.inf] = -1
+    return out_ids
+
+
+def run_hybrid_section(out, x, q, n, d, k, rng_tuned, _jax):
+    """Hybrid RRF throughput (dense + sparse legs fused,
+    /root/reference/src/api/vectordb/search/repo.rs:343-555). Both legs run
+    through their batched engines on a 256-query batch; fusion is the
+    vectorized host RRF above."""
+    from cosdata_tpu.indexes.flat import FlatIndex
+    from cosdata_tpu.indexes.inverted import InvertedIndex as _Inv
+
+    hb_n = min(n, 100_000)
+    hflat = FlatIndex(dim=d, kind="u8", range_=rng_tuned,
+                      initial_capacity=hb_n, ship_dtype="auto")
+    for s in range(0, hb_n, 131072):
+        hflat.add(x[s : s + 131072])
+    rng = np.random.default_rng(13)
+    nnz_doc, nnz_q, vocab = 64, 24, 30_000
+    hdims = (rng.pareto(1.2, size=hb_n * nnz_doc) * 50).astype(np.int64) % vocab
+    hvals = rng.gamma(2.0, 0.8, size=hb_n * nnz_doc).astype(np.float32)
+    hinv = _Inv(quantization=64, sample_threshold=256)
+    for i in range(256):
+        lo = i * nnz_doc
+        hinv.add(i, hdims[lo : lo + nnz_doc], hvals[lo : lo + nnz_doc])
+    hinv.add_batch(
+        np.arange(256, hb_n),
+        hdims[256 * nnz_doc :], hvals[256 * nnz_doc :],
+        np.full(hb_n - 256, nnz_doc),
+    )
+    hinv.flush()
+    nq_h, fetch = 256, 3 * k
+    hq_dense = np.concatenate([q[:64]] * 4)
+    hq_sparse = []
+    for j in range(nq_h):
+        jj = j % 64
+        dd = hdims[jj * nnz_doc : (jj + 1) * nnz_doc]
+        vv = hvals[jj * nnz_doc : (jj + 1) * nnz_doc]
+        pick = np.argsort(dd)[-nnz_q:]  # rarest dims (see sparse section)
+        hq_sparse.append(np.stack([dd[pick], vv[pick]], axis=1))
+
+    def hybrid_batch():
+        # overlap the legs: the dense dispatch is async; the sparse
+        # leg's host prep + device dispatch run while it executes
+        # (the reference joins its legs too, search/repo.rs:343-555)
+        d_out = hflat.search_device(hq_dense, top_k=fetch, rerank=True)
+        s_ids, _ = hinv.search(hq_sparse, top_k=fetch)
+        d_ids = np.asarray(_jax.device_get(d_out)[0], np.int64)
+        return rrf_fuse([d_ids, np.asarray(s_ids, np.int64)], k, fetch)
+
+    hybrid_batch()  # compile both legs
+    t0 = time.time()
+    for _ in range(3):
+        fused_ids = hybrid_batch()
+    hy_qps = 3 * nq_h / (time.time() - t0)
+    # sanity: doc j should fuse into query j's results (its own terms +
+    # its own dense vector)
+    hy_hit = np.mean([int((j % 64) in set(map(int, fused_ids[j])))
+                      for j in range(nq_h)])
+    out["hybrid"] = {
+        "n_docs": hb_n,
+        "qps": round(hy_qps, 1),
+        "batch": nq_h,
+        "self_recall": round(float(hy_hit), 3),
     }
-    headline.update(out)
-    print(json.dumps(headline))
 
 
 if __name__ == "__main__":

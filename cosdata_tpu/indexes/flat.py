@@ -139,7 +139,10 @@ class FlatIndex:
                 self.store.metric, self.store, queries, k_fetch, cached[2]
             )
             ids = jnp.where(top_s > NEG_INF / 2, top_i, -1)
-            return ids, top_s
+            # no rerank stage exists on this path (raw_on_host reranks are
+            # intercepted by search()): honor the (B, top_k) contract
+            # instead of returning the k_fetch-wide quantized shortlist
+            return ids[:, :top_k], top_s[:, :top_k]
         mask = self._mask()
         k_fetch = min(
             top_k * rerank_factor if rerank else top_k, self.store.capacity

@@ -157,9 +157,17 @@ def candidates_rescore_topk(
         sc = jnp.sum(qv * dv, axis=-1)  # exact raw score (pads carry 0)
         ok = (ids_c >= 0) & alive[safe_c]
         sc = jnp.where(ok, sc, NEG_INF)
-        c_s, c_pos = jax.lax.approx_max_k(
-            sc, min(k_fetch, cand_chunk), recall_target=0.95
-        )
+        if jax.default_backend() == "tpu":
+            # dropped candidates here are FINAL losses (no later rerank
+            # widens the set), so select at 0.99 — the caller's k*dup_slack
+            # over-fetch absorbs the remainder (ADVICE r3)
+            c_s, c_pos = jax.lax.approx_max_k(
+                sc, min(k_fetch, cand_chunk), recall_target=0.99
+            )
+        else:
+            # approx_max_k compiles pathologically slowly on XLA:CPU
+            # (same reason head_matmul_topk gates it)
+            c_s, c_pos = jax.lax.top_k(sc, min(k_fetch, cand_chunk))
         c_i = jnp.take_along_axis(ids_c, c_pos, axis=1)
         all_s = jnp.concatenate([top_s, c_s], axis=1)
         all_i = jnp.concatenate([top_i, c_i], axis=1)

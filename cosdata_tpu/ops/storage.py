@@ -258,7 +258,7 @@ class VectorStore:
         else:
             total = cap * d * 4 + 4 * cap
         if self.keep_raw is True and not self.codes_on_host:
-            total += cap * d * 4
+            total += cap * d * (2 if self.raw_dtype == "f16" else 4)
         return total
 
     # -- allocation ---------------------------------------------------------

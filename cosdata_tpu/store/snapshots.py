@@ -15,7 +15,10 @@ from pathlib import Path
 
 import msgpack
 import numpy as np
+import jax
 import jax.numpy as jnp
+
+from cosdata_tpu.ops.topk import NEG_INF
 
 
 def _fsync_dir(path: Path) -> None:
@@ -128,12 +131,17 @@ def _save_one_dense(idx, snap_dir: Path, configured_range: list) -> None:
     from cosdata_tpu.store.chunked import save_chunked
 
     vs = idx.store
+    scan_only = bool(getattr(idx, "scan_only", False))
     # big row-major arrays: dirty-chunk writes (clean chunks never
-    # leave the device); small per-row scalars ride one npz
-    save_chunked(snap_dir, "adj0", idx.adj0, idx.tracker.view("adj0"))
-    save_chunked(snap_dir, "adj0_d", idx.adj0_d, idx.tracker.view("adj0"))
-    save_chunked(snap_dir, "up_adj", idx.up_adj, idx.tracker.view("up"))
-    save_chunked(snap_dir, "up_d", idx.up_d, idx.tracker.view("up"))
+    # leave the device); small per-row scalars ride one npz.
+    # scan-only indexes (spilled past HBM, or hamming) carry DUMMY (1, m)
+    # adjacency — persisting it would make the load derive a capacity of 1
+    # and serve garbage after restart (ADVICE r3 high); skip the graph.
+    if not scan_only:
+        save_chunked(snap_dir, "adj0", idx.adj0, idx.tracker.view("adj0"))
+        save_chunked(snap_dir, "adj0_d", idx.adj0_d, idx.tracker.view("adj0"))
+        save_chunked(snap_dir, "up_adj", idx.up_adj, idx.tracker.view("up"))
+        save_chunked(snap_dir, "up_d", idx.up_d, idx.tracker.view("up"))
     st = vs.tracker.view("rows")
     if vs.kind == "subbyte":
         save_chunked(snap_dir, "planes", vs._arrays.planes, st, axis=1)
@@ -143,12 +151,16 @@ def _save_one_dense(idx, snap_dir: Path, configured_range: list) -> None:
         save_chunked(snap_dir, "raw", vs._raw, st)
     elif getattr(vs, "_raw_host", None) is not None:
         save_chunked(snap_dir, "raw_host", vs._raw_host, st)
+    alive_host = getattr(idx, "_alive_host", None)
     arrays = {
-        "up_slot": idx.up_slot,
         "levels": idx.levels,
-        "alive": idx.alive,
+        # spilled indexes keep tombstones in a host mirror; the device
+        # `alive` is a (1,) dummy there
+        "alive": alive_host if (scan_only and alive_host is not None) else idx.alive,
         "mags": vs._arrays.mags,
     }
+    if not scan_only:
+        arrays["up_slot"] = idx.up_slot
     if vs.kind in ("u8", "subbyte"):
         arrays["sums"] = vs._arrays.sums
     _save_npz(snap_dir / "dense.npz", arrays)
@@ -168,6 +180,13 @@ def _save_one_dense(idx, snap_dir: Path, configured_range: list) -> None:
         # collection never mixes host- and device-quantized codes when
         # later sessions probe a different link speed
         "ship_dtype": vs.ship_dtype,
+        # beyond-HBM state: capacity can no longer be derived from adj0
+        # (not saved when scan_only), and the load must re-enter the
+        # spilled tier instead of re-materializing codes on device
+        "capacity": int(vs.capacity),
+        "codes_on_host": bool(vs.codes_on_host),
+        "scan_only": scan_only,
+        "raw_dtype": vs.raw_dtype,
     }
     _atomic_write(snap_dir / "dense.msgpack", msgpack.packb(meta))
     # invariant: every mutation AFTER this save must mark its chunks at
@@ -330,28 +349,51 @@ def _load_one_dense(idx, snap_dir: Path, keep_raw_mode, meta=None) -> dict:
     z = np.load(snap_dir / "dense.npz")
     adj0 = load_chunked(snap_dir, "adj0")
     vs = idx.store
-    cap = int(adj0.shape[0])
+    scan_only = bool(meta.get("scan_only"))
+    codes_on_host = bool(meta.get("codes_on_host"))
+    if meta.get("capacity"):
+        cap = int(meta["capacity"])
+    else:  # pre-capacity snapshot layout: adj0 always existed
+        cap = int(adj0.shape[0])
     # rebuild the store at snapshot capacity
     vs.capacity = cap
     vs.range = tuple(meta["range"])
-    empty = vs._empty(cap)  # rebuilds the dequant scalars from range/dim
-    if meta["kind"] == "subbyte":
-        vs._arrays = empty._replace(
-            planes=jnp.asarray(load_chunked(snap_dir, "planes")),
-            sums=jnp.asarray(z["sums"]),
-            mags=jnp.asarray(z["mags"]),
+    if meta.get("raw_dtype"):
+        vs.raw_dtype = meta["raw_dtype"]
+    if codes_on_host:
+        # beyond-HBM tier: codes stay HOST-resident (re-materializing them
+        # as device arrays is exactly the allocation the spill avoided)
+        from cosdata_tpu.ops import quantize as Q
+
+        lo, hi = vs.range
+        vs._arrays = Q.QuantizedU8(
+            np.asarray(load_chunked(snap_dir, "data"), np.int8),
+            np.asarray(z["sums"], np.int32),
+            np.asarray(z["mags"], np.float32),
+            np.float32((hi - lo) / 255.0),
+            np.float32(lo),
+            np.float32(vs.dim),
         )
-    elif meta["kind"] == "u8":
-        vs._arrays = empty._replace(
-            data=jnp.asarray(load_chunked(snap_dir, "data")),
-            sums=jnp.asarray(z["sums"]),
-            mags=jnp.asarray(z["mags"]),
-        )
+        vs.codes_on_host = True
     else:
-        vs._arrays = empty._replace(
-            data=jnp.asarray(load_chunked(snap_dir, "data")),
-            mags=jnp.asarray(z["mags"]),
-        )
+        empty = vs._empty(cap)  # rebuilds the dequant scalars from range/dim
+        if meta["kind"] == "subbyte":
+            vs._arrays = empty._replace(
+                planes=jnp.asarray(load_chunked(snap_dir, "planes")),
+                sums=jnp.asarray(z["sums"]),
+                mags=jnp.asarray(z["mags"]),
+            )
+        elif meta["kind"] == "u8":
+            vs._arrays = empty._replace(
+                data=jnp.asarray(load_chunked(snap_dir, "data")),
+                sums=jnp.asarray(z["sums"]),
+                mags=jnp.asarray(z["mags"]),
+            )
+        else:
+            vs._arrays = empty._replace(
+                data=jnp.asarray(load_chunked(snap_dir, "data")),
+                mags=jnp.asarray(z["mags"]),
+            )
     raw_np = load_chunked(snap_dir, "raw")
     vs._raw = jnp.asarray(raw_np) if raw_np is not None else None
     del raw_np
@@ -389,23 +431,45 @@ def _load_one_dense(idx, snap_dir: Path, keep_raw_mode, meta=None) -> dict:
         # honor the path the existing codes were produced by (see save)
         vs.ship_dtype = meta["ship_dtype"]
     idx.cap = cap
-    idx.adj0 = jnp.asarray(adj0)
-    idx.adj0_d = jnp.asarray(load_chunked(snap_dir, "adj0_d"))
-    idx.up_adj = jnp.asarray(load_chunked(snap_dir, "up_adj"))
-    idx.cap_up = int(idx.up_adj.shape[0])
-    idx.up_d = jnp.asarray(load_chunked(snap_dir, "up_d"))
-    idx.up_slot = jnp.asarray(z["up_slot"])
-    idx.up_slot_host = np.asarray(z["up_slot"]).astype(np.int32)
+    if scan_only:
+        # re-enter the spilled/scan-only state: dummy device adjacency
+        # (freed with the graph at spill time), tombstones on host
+        p = idx.params
+        idx.scan_only = True
+        idx.adj0 = jnp.full((1, p.level_0_neighbors_count), -1, jnp.int32)
+        idx.adj0_d = jnp.full(
+            (1, p.level_0_neighbors_count), NEG_INF, jnp.float32
+        )
+        idx.up_adj = jnp.full(
+            (1, p.num_layers, p.neighbors_count), -1, jnp.int32
+        )
+        idx.up_d = jnp.full(
+            (1, p.num_layers, p.neighbors_count), NEG_INF, jnp.float32
+        )
+        idx.cap_up = 1
+        idx.up_slot = jnp.full((1,), -1, jnp.int32)
+        idx.up_slot_host = np.full((cap,), -1, np.int32)
+        idx._alive_host = np.asarray(z["alive"], bool)
+        idx.alive = jnp.ones((1,), bool)
+    else:
+        idx.adj0 = jnp.asarray(adj0)
+        idx.adj0_d = jnp.asarray(load_chunked(snap_dir, "adj0_d"))
+        idx.up_adj = jnp.asarray(load_chunked(snap_dir, "up_adj"))
+        idx.cap_up = int(idx.up_adj.shape[0])
+        idx.up_d = jnp.asarray(load_chunked(snap_dir, "up_d"))
+        idx.up_slot = jnp.asarray(z["up_slot"])
+        idx.up_slot_host = np.asarray(z["up_slot"]).astype(np.int32)
+        idx.alive = jnp.asarray(z["alive"])
     idx.levels = np.asarray(z["levels"])
-    idx.alive = jnp.asarray(z["alive"])
     idx.n_up = int(meta["n_up"])
     idx.entry = int(meta["entry"])
     idx.entry_level = int(meta["entry_level"])
     idx.n_deleted = int(meta["n_deleted"])
     idx.level_counts = np.asarray(meta["level_counts"], np.int64)
-    adopt_tracker(
-        snap_dir, idx.tracker, ["adj0", "adj0_d", "up_adj", "up_d"]
-    )
+    if not scan_only:
+        adopt_tracker(
+            snap_dir, idx.tracker, ["adj0", "adj0_d", "up_adj", "up_d"]
+        )
     store_names = ["planes" if meta["kind"] == "subbyte" else "data"]
     if vs._raw is not None:
         store_names.append("raw")
@@ -454,8 +518,16 @@ def load_collection_state(coll, snap_dir: str | Path) -> None:
         idx = d.index
         alive_parts = []
         for s, shard in enumerate(idx.shards):
-            _load_one_dense(shard, snap_dir / f"dense_shard{s}", d.keep_raw)
-            alive_parts.append(np.asarray(shard.alive)[: shard.n])
+            # commit each shard's arrays to ITS device — without the
+            # default_device scope every shard loads onto device 0 and
+            # the restored engine serves single-device (ADVICE r3 medium)
+            with jax.default_device(idx.devices[s]):
+                _load_one_dense(shard, snap_dir / f"dense_shard{s}", d.keep_raw)
+            a_host = getattr(shard, "_alive_host", None)
+            alive_parts.append(
+                np.asarray(a_host if shard.scan_only and a_host is not None
+                           else shard.alive)[: shard.n]
+            )
         idx.n = int(manifest["n"])
         idx._global_of = [list(map(int, g)) for g in manifest["global_of"]]
         idx._loc_of = {

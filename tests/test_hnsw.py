@@ -360,6 +360,42 @@ class TestBeyondHBMSpill:
         got, _ = idx.search(x[:8], top_k=3)
         assert (got[:, 0] == np.arange(8)).all()
 
+    def test_spill_snapshot_restart(self, monkeypatch, tmp_path):
+        """Snapshot + restore of a SPILLED index must re-enter the
+        beyond-HBM tier: host-resident codes, scan-only serving, host
+        tombstones (ADVICE r3 high: the dummy (1, m) adjacency used to be
+        persisted and the restore served garbage)."""
+        monkeypatch.setenv("COSDATA_HBM_GB", str(50 / (1 << 20)))  # ~50 KB
+        from cosdata_tpu.indexes.hnsw import HNSWIndex, HNSWParams
+        from cosdata_tpu.store.snapshots import _load_one_dense, _save_one_dense
+
+        params = HNSWParams(num_layers=2, wave_size=256, max_iters=32)
+        idx = HNSWIndex(
+            dim=64, kind="u8", range_=(-0.3, 0.3), keep_raw="host",
+            initial_capacity=128, params=params,
+        )
+        x = _unit(3000, 64, 31)
+        idx.add(x)
+        assert idx.store.codes_on_host and idx.scan_only
+        idx.delete(3)
+        _save_one_dense(idx, tmp_path, [-0.3, 0.3])
+
+        idx2 = HNSWIndex(
+            dim=64, kind="u8", range_=(-0.3, 0.3), keep_raw="host",
+            initial_capacity=128, params=params,
+        )
+        _load_one_dense(idx2, tmp_path, "host")
+        assert idx2.store.codes_on_host and idx2.scan_only
+        assert idx2.store.capacity == idx.store.capacity
+        assert idx2.store.n == 3000
+        assert isinstance(idx2.store._arrays.data, np.ndarray)  # host tier
+        got, vals = idx2.search(x[:5], top_k=5)
+        keep = [0, 1, 2, 4]  # row 3 was tombstoned pre-snapshot
+        assert (got[keep, 0] == np.asarray(keep)).all()
+        assert vals[0, 0] > 0.98  # exact host rerank still works
+        got3, _ = idx2.search(x[3], top_k=5)
+        assert 3 not in got3[0], "tombstone lost across restart"
+
     def test_device_raw_over_budget_raises_clearly(self, monkeypatch):
         monkeypatch.setenv("COSDATA_HBM_GB", str(50 / (1 << 20)))
         from cosdata_tpu.indexes.hnsw import HNSWIndex
