@@ -966,8 +966,13 @@ class InvertedIndex:
         )
 
     #: nomination width multiplier: each source (head matmul, tail gather)
-    #: contributes max(NOMINATE*k, 32) candidates to the exact final rescore
-    NOMINATE = 4
+    #: contributes max(NOMINATE*k, 64) candidates to the exact final rescore.
+    #: 8x: nomination ranks in QUANTIZED space (u8 head codes / bucketed
+    #: postings), and tie-dense zipf corpora need slack for quantized
+    #: near-ties to survive into the exact rescore (measured: 4x lost
+    #: ~1/10 of oracle top-10 at 1.5k docs; the rescore is exact, so extra
+    #: width costs only gather rows)
+    NOMINATE = 8
 
     def _search_head(self, queries, starts, lens, top_k):
         """Dense-head + CSR-tail search.
@@ -1019,7 +1024,7 @@ class InvertedIndex:
         if bp > b:
             starts = np.pad(starts, ((0, bp - b), (0, 0)), constant_values=-1)
             lens = np.pad(lens, ((0, bp - b), (0, 0)))
-        nom = int(min(max(self.NOMINATE * top_k, 32), self.n_cap))
+        nom = int(min(max(self.NOMINATE * top_k, 64), self.n_cap))
         chunk = min(self.n_cap, 1 << 16)
         h_sc, h_ids = head_matmul_topk(
             jnp.asarray(q_head), self._head_codes_dev, self._alive_dev,

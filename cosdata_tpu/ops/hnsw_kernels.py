@@ -457,9 +457,61 @@ def _leaf_knn_body(metric, kind, d, kk, leaf_chunk, leaf_ids, store, rt=0.85):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("metric", "kind", "d", "m", "rounds", "sample", "node_chunk"),
-    donate_argnums=(7, 8),
+    static_argnames=("m",),
+    donate_argnums=(0, 1),
 )
+def apply_forward_and_reverse(
+    adj: jax.Array,  # (cap, m) donated
+    dist: jax.Array,  # (cap, m) donated
+    mem: jax.Array,  # (Mpad,) int32, -1 padded
+    fwd_ids: jax.Array,  # (Mpad, m)
+    fwd_d: jax.Array,  # (Mpad, m)
+    m: int,
+):
+    """Forward-edge writes + reverse-edge merge, one program."""
+    safe_mem = jnp.where(mem >= 0, mem, adj.shape[0])
+    adj = adj.at[safe_mem].set(fwd_ids, mode="drop")
+    dist = dist.at[safe_mem].set(fwd_d, mode="drop")
+    return _reverse_edges_body(adj, dist, mem, fwd_ids, fwd_d, m, m)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("metric", "kind", "d", "m", "sample", "node_chunk"),
+    donate_argnums=(6, 7),
+)
+def nn_descent_round(
+    metric: str,
+    kind: str,
+    d: int,
+    m: int,
+    sample: int,
+    node_chunk: int,
+    adj: jax.Array,  # (cap, m) donated
+    dist: jax.Array,  # (cap, m) donated
+    mem: jax.Array,  # (Mpad,) int32, -1 padded
+    store,
+):
+    """One NN-descent refinement round as its own program."""
+    return _nn_descent_body(
+        metric, kind, d, m, sample, node_chunk, mem, adj, dist, store
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("m",), donate_argnums=(0, 1))
+def reverse_from_table(
+    adj: jax.Array,  # (cap, m) donated
+    dist: jax.Array,  # (cap, m) donated
+    mem: jax.Array,  # (Mpad,) int32, -1 padded
+    m: int,
+):
+    """Reverse-edge merge sourcing the CURRENT table rows of ``mem``."""
+    return _reverse_edges_body(
+        adj, dist, mem, adj[jnp.maximum(mem, 0)],
+        dist[jnp.maximum(mem, 0)], m, m,
+    )
+
+
 def finalize_level0(
     metric: str,
     kind: str,
@@ -468,27 +520,44 @@ def finalize_level0(
     rounds: int,
     sample: int,
     node_chunk: int,
-    adj: jax.Array,  # (cap, m) donated
-    dist: jax.Array,  # (cap, m) donated
+    adj: jax.Array,
+    dist: jax.Array,
     mem: jax.Array,  # (Mpad,) int32, -1 padded
     fwd_ids: jax.Array,  # (Mpad, m)
     fwd_d: jax.Array,  # (Mpad, m)
     store,
 ):
-    """Level-0 tail fused into one program: forward-edge writes + reverse
-    edges + NN-descent refinement round(s) + reverse again."""
-    safe_mem = jnp.where(mem >= 0, mem, adj.shape[0])
-    adj = adj.at[safe_mem].set(fwd_ids, mode="drop")
-    dist = dist.at[safe_mem].set(fwd_d, mode="drop")
-    adj, dist = _reverse_edges_body(adj, dist, mem, fwd_ids, fwd_d, m, m)
+    """Level-0 tail: forward-edge writes + reverse edges + NN-descent
+    refinement round(s) + reverse again.
+
+    Deliberately THREE SMALL programs, not one fused one: the single fused
+    version's XLA compile was OOM-SIGKILLed by this platform's remote
+    compile helper at 1M x 64 (and big fused programs pay a savage
+    per-process load penalty even when cached — see _rp_level). The extra
+    dispatches cost ~0.1 s total; tables are donated through every call so
+    HBM holds one copy."""
+    import os as _os
+    import time as _time
+
+    log = _os.environ.get("COSDATA_BUILD_LOG")
+
+    def _t(label, t0):
+        if log:
+            jax.block_until_ready(adj)
+            print(f"[build]     finalize/{label}: {_time.time() - t0:.1f}s",
+                  flush=True)
+        return _time.time()
+
+    t0 = _time.time()
+    adj, dist = apply_forward_and_reverse(adj, dist, mem, fwd_ids, fwd_d, m)
+    t0 = _t("fwd+rev", t0)
     for _ in range(rounds):
-        adj, dist = _nn_descent_body(
-            metric, kind, d, m, sample, node_chunk, mem, adj, dist, store
+        adj, dist = nn_descent_round(
+            metric, kind, d, m, sample, node_chunk, adj, dist, mem, store
         )
-        adj, dist = _reverse_edges_body(
-            adj, dist, mem, adj[jnp.maximum(mem, 0)],
-            dist[jnp.maximum(mem, 0)], m, m,
-        )
+        t0 = _t("nn_descent", t0)
+        adj, dist = reverse_from_table(adj, dist, mem, m)
+        _t("rev2", t0)
     return adj, dist
 
 

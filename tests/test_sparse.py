@@ -415,3 +415,103 @@ class TestSamplingEdges:
         ids, _ = inv.search([[(5, 4.0)]], top_k=3)
         got = set(int(i) for i in np.asarray(ids[0]) if i >= 0)
         assert 0 in got, "top-bucket posting must survive threshold=1.0"
+
+
+class TestDenseHeadEngine:
+    """The dense-head + CSR-tail engine (indexes/inverted.py _search_head):
+    high-df dims become a device u8 matrix scanned by MXU matmul with NO
+    budget; the tail is gathered + exact-rescored; the union is rescored
+    exactly from raw rows. VERDICT r3 weak #5: HEAD_MIN_CAP exceeded every
+    test corpus, so this path shipped untested."""
+
+    def _mk(self, monkeypatch, n=1500, vocab=400, nnz=16, seed=11):
+        # engage the head at test scale
+        monkeypatch.setattr(InvertedIndex, "HEAD_MIN_CAP", 1024)
+        monkeypatch.setattr(InvertedIndex, "HEAD_MIN_DF", 8)
+        rng = np.random.default_rng(seed)
+        # zipf-ish dims: dense head dims collide across many docs
+        dims = (rng.pareto(1.2, size=(n, nnz)) * 12).astype(np.int64) % vocab
+        # dedup dims within a doc (repeat dims sum in scoring; keep the
+        # oracle simple by making rows unique)
+        for i in range(n):
+            d, idx_ = np.unique(dims[i], return_index=True)
+            row = np.full(nnz, -1, np.int64)
+            row[: len(d)] = d
+            dims[i] = row
+        vals = rng.gamma(2.0, 0.8, size=(n, nnz)).astype(np.float32)
+        idx = InvertedIndex(quantization=64, values_upper_bound=5.0)
+        for i in range(n):
+            sel = dims[i] >= 0
+            idx.add(i, dims[i][sel], vals[i][sel])
+        idx.flush()
+        return idx, dims, vals, rng
+
+    def test_head_engages_and_matches_oracle(self, monkeypatch):
+        idx, dims, vals, rng = self._mk(monkeypatch)
+        idx._build_csr()
+        assert len(idx._head_didx) > 0, "head must engage at this scale"
+        # queries: mixture of head (high-df) and tail dims from real docs
+        queries = []
+        for j in range(16):
+            sel = dims[j] >= 0
+            queries.append(
+                np.stack([dims[j][sel][:8], vals[j][sel][:8]], axis=1)
+            )
+        qlists = [list(map(tuple, q)) for q in queries]
+        ids, scores = idx.search(qlists, top_k=10)
+        # exact numpy oracle over raw (non-negative) values
+        n = dims.shape[0]
+        for qi, q in enumerate(queries):
+            expect = np.zeros(n)
+            hit = np.zeros(n, bool)
+            for d, v in q:
+                m = dims == int(d)  # (n, nnz) — rows are unique per doc
+                contrib = np.where(m, np.maximum(vals, 0.0), 0.0).sum(axis=1)
+                expect += max(float(v), 0.0) * contrib
+                hit |= m.any(axis=1)
+            expect[~hit] = -np.inf
+            order = np.argsort(-expect, kind="stable")
+            got = [int(i) for i in ids[qi] if i >= 0]
+            # top-1 must match and scores must be EXACT for every returned id
+            assert got[0] == order[0] or np.isclose(
+                expect[got[0]], expect[order[0]], rtol=1e-5
+            )
+            np.testing.assert_allclose(
+                scores[qi][: len(got)], expect[got], rtol=1e-5
+            )
+            # overlap@10 vs oracle (ties allowed): nomination must not lose
+            # candidates the exact rescore would keep
+            top10 = set(order[:10].tolist())
+            # include ties at the boundary score
+            cut = expect[order[9]]
+            tied = set(np.nonzero(np.isclose(expect, cut, rtol=1e-6))[0].tolist())
+            overlap = sum(1 for g in got if g in top10 or g in tied)
+            assert overlap >= 9, (qi, got, order[:10], overlap)
+
+    def test_head_respects_deletes(self, monkeypatch):
+        idx, dims, vals, rng = self._mk(monkeypatch, n=1200)
+        q = [list(zip(dims[5][dims[5] >= 0].tolist(),
+                      vals[5][dims[5] >= 0].tolist()))]
+        ids, _ = idx.search(q, top_k=5)
+        assert ids[0, 0] == 5
+        idx.delete(5)
+        ids, _ = idx.search(q, top_k=5)
+        assert 5 not in ids[0]
+
+    def test_head_excluded_from_tail_budget(self, monkeypatch):
+        """Head dims must not consume the tail scan budget: segments built
+        with exclude_head must only reference tail dims."""
+        idx, dims, vals, rng = self._mk(monkeypatch)
+        idx._build_csr()
+        head_dims = set(idx._dim_uniq[idx._head_didx].tolist())
+        q = [list(zip(dims[3][dims[3] >= 0].tolist(),
+                      vals[3][dims[3] >= 0].tolist()))]
+        starts, lens, _ = idx._segments_batch(
+            q, idx.SCAN_BUDGET, exclude_head=True
+        )
+        # map each emitted segment start back to its dim via the CSR ranges
+        for s, l in zip(starts[0], lens[0]):
+            if s < 0 or l == 0:
+                continue
+            d_pos = np.searchsorted(idx._dim_start, s, side="right") - 1
+            assert int(idx._dim_uniq[d_pos]) not in head_dims
