@@ -1359,6 +1359,18 @@ class HNSWIndex:
     #: full (B, cap) score matrix is HBM-hostile past ~100k rows
     SCAN_CHUNK = 1 << 16
 
+    def _rerank_factor(self) -> int:
+        """Exact-rerank shortlist depth as a multiple of top_k. Scales with
+        quantization coarseness: 1-2 bit codes order so noisily that the
+        true top-k routinely sits outside a 5x shortlist (the reference's
+        factor, vector_store.rs:404-445 — calibrated for u8); 20x costs one
+        slightly deeper gather+dot. Shared by the device scan, the host
+        rerank wrapper, and the beyond-HBM streamed path so spilled and
+        resident stores nominate identically."""
+        if self.store.kind == "subbyte" and self.store.resolution <= 2:
+            return 20
+        return 5
+
     def search_brute(
         self,
         queries: np.ndarray,
@@ -1370,8 +1382,12 @@ class HNSWIndex:
             return self._search_streamed(queries, top_k, mask, rerank)
         host_rerank = rerank and self.store.raw_on_host
         # never fetch fewer than top_k columns: the device scan pads with
-        # -1 past n, keeping the (B, top_k) output contract on tiny indexes
-        fetch = max(min(5 * top_k, max(self.n, 1)), top_k) if host_rerank else top_k
+        # -1 past n, keeping the (B, top_k) output contract on tiny indexes;
+        # rerank depth matches search_brute_device's coarse-code ladder
+        fetch = (
+            max(min(self._rerank_factor() * top_k, max(self.n, 1)), top_k)
+            if host_rerank else top_k
+        )
         out = self.search_brute_device(queries, fetch, mask, rerank)
         if out is None:
             b = len(np.atleast_2d(queries))
@@ -1411,15 +1427,9 @@ class HNSWIndex:
         if self.n == 0:
             return None
         do_rerank = bool(rerank and self.store.keep_raw is True)
-        # rerank depth scales with quantization coarseness: 1-2 bit codes
-        # order so noisily that the true top-k routinely sits outside a 5x
-        # shortlist (the reference's factor, vector_store.rs:404-445 —
-        # calibrated for u8); 20x costs one slightly deeper gather+dot
-        factor = (
-            20 if self.store.kind == "subbyte" and self.store.resolution <= 2
-            else 5
+        keep = min(
+            self._rerank_factor() * top_k if do_rerank else top_k, self.cap
         )
-        keep = min(factor * top_k if do_rerank else top_k, self.cap)
         # pad batch to a power of two: compile-cache reuse across client sizes
         bp = max(8, 1 << int(np.ceil(np.log2(b))))
         if bp != b:
@@ -1507,7 +1517,10 @@ class HNSWIndex:
             m[: len(mask)] = mask
             valid_np &= m
         host_rerank = rerank and self.store.raw_on_host
-        fetch = max(min(5 * top_k, max(self.n, 1)), top_k) if host_rerank else top_k
+        fetch = (
+            max(min(self._rerank_factor() * top_k, max(self.n, 1)), top_k)
+            if host_rerank else top_k
+        )
         top_s, top_i = streamed_flat_topk(
             self.store.metric, self.store, queries, fetch, valid_np
         )

@@ -339,14 +339,15 @@ def fused_flat_search_codes(
     return ids, vals
 
 
-@functools.partial(jax.jit, static_argnames=("metric", "d", "k"))
+@functools.partial(jax.jit, static_argnames=("metric", "kind", "d", "k"))
 def _streamed_chunk_merge(
-    metric: str, d: int, k: int, q, chunk_store, valid, base, top_s, top_i
+    metric: str, kind: str, d: int, k: int, q, chunk_store, valid, base,
+    top_s, top_i,
 ):
-    """Merge one host-streamed u8 code chunk into the running top-k."""
+    """Merge one host-streamed quantized code chunk into the running top-k."""
     from cosdata_tpu.ops import distance as D
 
-    scores = D.score(metric, "u8", q, chunk_store, d)
+    scores = D.score(metric, kind, q, chunk_store, d)
     scores = jnp.where(valid[None, :], scores, NEG_INF)
     c_s, c_i = jax.lax.approx_max_k(
         scores, min(k, scores.shape[1]), recall_target=0.99
@@ -364,34 +365,45 @@ STREAM_CHUNK = 1 << 16
 
 
 def streamed_flat_topk(metric, store, q_np, k_fetch, valid_np):
-    """Beyond-HBM scan: u8 codes live in HOST RAM (VectorStore spill tier,
-    the role of the reference's lazy cache_loader.rs); chunks stream
+    """Beyond-HBM scan: quantized codes live in HOST RAM (VectorStore spill
+    tier, the role of the reference's lazy cache_loader.rs); chunks stream
     host->device through a pipeline of async dispatches with a running
-    device top-k. Returns device (scores (B, k), ids (B, k)).
+    device top-k. Returns device (scores (B, k), ids (B, k)). Handles both
+    u8 codes and packed subbyte planes (the DEEP-100M 2-bit config — planes
+    are 4-16x smaller than u8, so streaming them is cheaper still).
 
     ``valid_np``: host bool mask over capacity rows (tombstones+filters)."""
     import numpy as np
 
     from cosdata_tpu.ops import quantize as Q
 
-    a = store._arrays  # numpy-backed QuantizedU8
+    a = store._arrays  # numpy-backed QuantizedU8 / QuantizedSubByte
     b = len(q_np)
     bp = max(8, 1 << int(np.ceil(np.log2(b))))
     if bp != b:
         q_np = np.concatenate([q_np, np.repeat(q_np[-1:], bp - b, 0)])
-    # query codes quantized on HOST: 1-byte wire, and stage-1 scoring is
+    # query codes quantized on HOST: minimal wire, and stage-1 scoring is
     # quantized either way
-    qi8 = store._host_quantize_u8(store._pad_dims_np(q_np))
-    sums = qi8.sum(axis=1, dtype=np.int32)
-    lo, hi = store.range
-    aa = (np.float32(hi) - np.float32(lo)) / np.float32(255.0)
-    deq = aa * (qi8.astype(np.float32) + 128.0) + np.float32(lo)
-    deq[:, store.dim :] = 0.0
-    mags = np.sqrt((deq * deq).sum(axis=1))
-    q = Q.QuantizedU8(
-        jnp.asarray(qi8), jnp.asarray(sums), jnp.asarray(mags),
-        jnp.float32(a.a), jnp.float32(a.b), jnp.float32(a.dtrue),
-    )
+    if store.kind == "subbyte":
+        qp, qsums, qmags = store._host_quantize_subbyte(
+            store._pad_dims_np(q_np)
+        )
+        q = Q.QuantizedSubByte(
+            jnp.asarray(qp), jnp.asarray(qsums), jnp.asarray(qmags),
+            jnp.float32(a.a), jnp.float32(a.b), jnp.float32(a.dtrue),
+        )
+    else:
+        qi8 = store._host_quantize_u8(store._pad_dims_np(q_np))
+        sums = qi8.sum(axis=1, dtype=np.int32)
+        lo, hi = store.range
+        aa = (np.float32(hi) - np.float32(lo)) / np.float32(255.0)
+        deq = aa * (qi8.astype(np.float32) + 128.0) + np.float32(lo)
+        deq[:, store.dim :] = 0.0
+        mags = np.sqrt((deq * deq).sum(axis=1))
+        q = Q.QuantizedU8(
+            jnp.asarray(qi8), jnp.asarray(sums), jnp.asarray(mags),
+            jnp.float32(a.a), jnp.float32(a.b), jnp.float32(a.dtrue),
+        )
     k = min(k_fetch, store.capacity)
     top_s = jnp.full((bp, k), NEG_INF, jnp.float32)
     top_i = jnp.full((bp, k), -1, jnp.int32)
@@ -399,22 +411,35 @@ def streamed_flat_topk(metric, store, q_np, k_fetch, valid_np):
     for base in range(0, n_rows, STREAM_CHUNK):
         end = min(base + STREAM_CHUNK, store.capacity)
         short = STREAM_CHUNK - (end - base)
-        data_c, sums_c, mags_c = (
-            a.data[base:end], a.sums[base:end], a.mags[base:end],
-        )
+        sums_c, mags_c = a.sums[base:end], a.mags[base:end]
         valid_c = valid_np[base:end]
-        if short:  # pad the tail chunk: ONE compiled shape for the sweep
-            data_c = np.pad(data_c, ((0, short), (0, 0)), constant_values=-128)
-            sums_c = np.pad(sums_c, (0, short))
-            mags_c = np.pad(mags_c, (0, short))
-            valid_c = np.pad(valid_c, (0, short))
-        chunk = Q.QuantizedU8(
-            jnp.asarray(data_c), jnp.asarray(sums_c), jnp.asarray(mags_c),
-            jnp.float32(a.a), jnp.float32(a.b), jnp.float32(a.dtrue),
-        )
+        if store.kind == "subbyte":
+            planes_c = a.planes[:, base:end]
+            if short:  # pad the tail chunk: ONE compiled shape for the sweep
+                planes_c = np.pad(planes_c, ((0, 0), (0, short), (0, 0)))
+                sums_c = np.pad(sums_c, (0, short))
+                mags_c = np.pad(mags_c, (0, short))
+                valid_c = np.pad(valid_c, (0, short))
+            chunk = Q.QuantizedSubByte(
+                jnp.asarray(planes_c), jnp.asarray(sums_c),
+                jnp.asarray(mags_c),
+                jnp.float32(a.a), jnp.float32(a.b), jnp.float32(a.dtrue),
+            )
+        else:
+            data_c = a.data[base:end]
+            if short:
+                data_c = np.pad(data_c, ((0, short), (0, 0)), constant_values=-128)
+                sums_c = np.pad(sums_c, (0, short))
+                mags_c = np.pad(mags_c, (0, short))
+                valid_c = np.pad(valid_c, (0, short))
+            chunk = Q.QuantizedU8(
+                jnp.asarray(data_c), jnp.asarray(sums_c), jnp.asarray(mags_c),
+                jnp.float32(a.a), jnp.float32(a.b), jnp.float32(a.dtrue),
+            )
         valid = jnp.asarray(valid_c)
         top_s, top_i = _streamed_chunk_merge(
-            metric, store.dim_pad, k, q, chunk, valid, base, top_s, top_i
+            metric, store.kind, store.dim_pad, k, q, chunk, valid, base,
+            top_s, top_i,
         )
     return top_s[:b], top_i[:b]
 

@@ -308,20 +308,30 @@ class VectorStore:
         return Q.QuantizedFloat(jnp.zeros((cap, d), dt), jnp.zeros((cap,), jnp.float32))
 
     def _spillable(self) -> bool:
-        """Codes can move to the host-streamed tier: u8 codes with raw rows
-        NOT in HBM (device-raw mode needs the f32 rows resident anyway, so
-        past-budget growth must fail loudly instead)."""
-        return self.kind == "u8" and self.keep_raw is not True
+        """Codes can move to the host-streamed tier: quantized codes (u8 or
+        packed subbyte planes) with raw rows NOT in HBM (device-raw mode
+        needs the f32 rows resident anyway, so past-budget growth must fail
+        loudly instead). Subbyte planes are 4-16x smaller than u8 codes, so
+        streaming them is cheaper still (VERDICT r3 #7 — the DEEP-100M 2-bit
+        config must degrade gracefully past HBM, cache_loader.rs:25-278
+        role)."""
+        return self.kind in ("u8", "subbyte") and self.keep_raw is not True
 
     def _spill_codes_to_host(self) -> None:
         """Move quantized codes to host RAM (beyond-HBM tier). Searches
         stream chunks through the scan (ops/flat_scan.streamed_flat_search);
         graph engines flip to scan-only (exact results, streamed speed)."""
         a = self._arrays
-        self._arrays = Q.QuantizedU8(
-            np.asarray(a.data), np.asarray(a.sums), np.asarray(a.mags),
-            np.float32(a.a), np.float32(a.b), np.float32(a.dtrue),
-        )
+        if self.kind == "subbyte":
+            self._arrays = Q.QuantizedSubByte(
+                np.asarray(a.planes), np.asarray(a.sums), np.asarray(a.mags),
+                np.float32(a.a), np.float32(a.b), np.float32(a.dtrue),
+            )
+        else:
+            self._arrays = Q.QuantizedU8(
+                np.asarray(a.data), np.asarray(a.sums), np.asarray(a.mags),
+                np.float32(a.a), np.float32(a.b), np.float32(a.dtrue),
+            )
         self.codes_on_host = True
 
     def _grow_to(self, cap: int) -> None:
@@ -347,12 +357,20 @@ class VectorStore:
         if self.codes_on_host:
             a = self._arrays
             grow = cap - self.capacity
-            self._arrays = Q.QuantizedU8(
-                np.pad(a.data, ((0, grow), (0, 0))),
-                np.pad(a.sums, (0, grow), constant_values=-self.dim_pad * 128),
-                np.pad(a.mags, (0, grow)),
-                a.a, a.b, a.dtrue,
-            )
+            if self.kind == "subbyte":
+                self._arrays = Q.QuantizedSubByte(
+                    np.pad(a.planes, ((0, 0), (0, grow), (0, 0))),
+                    np.pad(a.sums, (0, grow)),
+                    np.pad(a.mags, (0, grow)),
+                    a.a, a.b, a.dtrue,
+                )
+            else:
+                self._arrays = Q.QuantizedU8(
+                    np.pad(a.data, ((0, grow), (0, 0))),
+                    np.pad(a.sums, (0, grow), constant_values=-self.dim_pad * 128),
+                    np.pad(a.mags, (0, grow)),
+                    a.a, a.b, a.dtrue,
+                )
             if self.keep_raw == "host":
                 self._raw_host = np.pad(self._raw_host, ((0, grow), (0, 0)))
             elif self.keep_raw == "disk":
@@ -499,6 +517,36 @@ class VectorStore:
         u8 ^= 128
         return u8.view(np.int8)
 
+    def _host_quantize_subbyte(self, piece: np.ndarray):
+        """Host-side sub-byte bitplane quantization, mirroring
+        quantize_subbyte's math and _pack_bits_to_u32's layout (dim j ->
+        word j % w, shift j // w). Returns (planes (res, n, w) uint32,
+        sums (n,) int32, mags (n,) f32) for the beyond-HBM spill tier."""
+        res = self.resolution
+        parts = 1 << res
+        step = np.float32(2.0 / parts)
+        n_bucket = np.clip(
+            np.floor((piece + np.float32(1.0)) / step).astype(np.int32),
+            0, parts - 1,
+        )
+        if self.dim_pad != self.dim:
+            n_bucket[:, self.dim :] = 0
+        n, d_pad = n_bucket.shape
+        w = d_pad // 32
+        shifts = np.arange(32, dtype=np.uint32)[None, :, None]
+        planes = np.empty((res, n, w), np.uint32)
+        for p in range(res):
+            bit = ((n_bucket >> (res - 1 - p)) & 1).astype(np.uint32)
+            planes[p] = (bit.reshape(n, 32, w) << shifts).sum(
+                axis=1, dtype=np.uint32
+            )
+        a = step
+        b = np.float32(step / 2.0 - 1.0)
+        deq = a * n_bucket.astype(np.float32) + b
+        deq[:, self.dim :] = 0.0
+        mags = np.sqrt((deq * deq).sum(axis=1))
+        return planes, n_bucket.sum(axis=1, dtype=np.int32), mags
+
     #: internal ingest chunk: host wire-conversion of chunk i+1 overlaps
     #: the (async-dispatched) upload/quantize/write of chunk i, which
     #: matters on a slow host — a monolithic 1M-row astype+upload was
@@ -521,16 +569,22 @@ class VectorStore:
             # beyond-HBM tier: quantize on host, write host arrays only
             for s in range(0, b, self.ADD_CHUNK):
                 piece = x_np[s : s + self.ADD_CHUNK]
-                i8 = self._host_quantize_u8(piece)
                 a0 = self._arrays
                 sl = slice(self.n, self.n + len(piece))
-                a0.data[sl] = i8
-                a0.sums[sl] = i8.sum(axis=1, dtype=np.int32)
-                lo, hi = self.range
-                aa = (np.float32(hi) - np.float32(lo)) / np.float32(255.0)
-                deq = aa * (i8.astype(np.float32) + 128.0) + np.float32(lo)
-                deq[:, self.dim :] = 0.0
-                a0.mags[sl] = np.sqrt((deq * deq).sum(axis=1))
+                if self.kind == "subbyte":
+                    planes, sums, mags = self._host_quantize_subbyte(piece)
+                    a0.planes[:, sl] = planes
+                    a0.sums[sl] = sums
+                    a0.mags[sl] = mags
+                else:
+                    i8 = self._host_quantize_u8(piece)
+                    a0.data[sl] = i8
+                    a0.sums[sl] = i8.sum(axis=1, dtype=np.int32)
+                    lo, hi = self.range
+                    aa = (np.float32(hi) - np.float32(lo)) / np.float32(255.0)
+                    deq = aa * (i8.astype(np.float32) + 128.0) + np.float32(lo)
+                    deq[:, self.dim :] = 0.0
+                    a0.mags[sl] = np.sqrt((deq * deq).sum(axis=1))
                 if self.raw_on_host:
                     self._raw_host[sl] = piece
                 self.n += len(piece)

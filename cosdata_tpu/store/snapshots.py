@@ -366,14 +366,25 @@ def _load_one_dense(idx, snap_dir: Path, keep_raw_mode, meta=None) -> dict:
         from cosdata_tpu.ops import quantize as Q
 
         lo, hi = vs.range
-        vs._arrays = Q.QuantizedU8(
-            np.asarray(load_chunked(snap_dir, "data"), np.int8),
-            np.asarray(z["sums"], np.int32),
-            np.asarray(z["mags"], np.float32),
-            np.float32((hi - lo) / 255.0),
-            np.float32(lo),
-            np.float32(vs.dim),
-        )
+        if meta["kind"] == "subbyte":
+            step = np.float32(2.0 / (1 << vs.resolution))
+            vs._arrays = Q.QuantizedSubByte(
+                np.asarray(load_chunked(snap_dir, "planes"), np.uint32),
+                np.asarray(z["sums"], np.int32),
+                np.asarray(z["mags"], np.float32),
+                step,
+                np.float32(step / 2.0 - 1.0),
+                np.float32(vs.dim),
+            )
+        else:
+            vs._arrays = Q.QuantizedU8(
+                np.asarray(load_chunked(snap_dir, "data"), np.int8),
+                np.asarray(z["sums"], np.int32),
+                np.asarray(z["mags"], np.float32),
+                np.float32((hi - lo) / 255.0),
+                np.float32(lo),
+                np.float32(vs.dim),
+            )
         vs.codes_on_host = True
     else:
         empty = vs._empty(cap)  # rebuilds the dequant scalars from range/dim

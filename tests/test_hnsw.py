@@ -407,6 +407,70 @@ class TestBeyondHBMSpill:
         with pytest.raises(RuntimeError, match="raw_storage"):
             idx.add(_unit(3000, 64, 35))
 
+    def test_subbyte_spill_streamed_search(self, monkeypatch):
+        """The DEEP-100M 2-bit config must degrade gracefully past HBM
+        (VERDICT r3 #7): packed subbyte planes spill to host RAM, search
+        streams plane chunks, exact host rerank recovers ordering, and
+        results match the never-spilled subbyte index on the same data."""
+        from cosdata_tpu.indexes.hnsw import HNSWIndex, HNSWParams
+
+        params = HNSWParams(num_layers=2, wave_size=256, max_iters=32)
+        x = _unit(3000, 64, 37)
+
+        # oracle: identical subbyte index, no HBM pressure
+        ref = HNSWIndex(dim=64, kind="subbyte", resolution=2,
+                        keep_raw="host", initial_capacity=4096, params=params)
+        ref.add(x)
+        assert not ref.store.codes_on_host
+        ref_ids, _ = ref.search_brute(x[:16], top_k=5)
+
+        monkeypatch.setenv("COSDATA_HBM_GB", str(30 / (1 << 20)))  # ~30 KB
+        idx = HNSWIndex(dim=64, kind="subbyte", resolution=2,
+                        keep_raw="host", initial_capacity=128, params=params)
+        ids = idx.add(x)
+        assert len(ids) == 3000
+        assert idx.store.codes_on_host, "subbyte growth past budget must spill"
+        assert idx.scan_only
+        assert isinstance(idx.store._arrays.planes, np.ndarray)  # host tier
+        got, vals = idx.search(x[:16], top_k=5)
+        assert (got[:, 0] == np.arange(16)).all()
+        assert vals[0, 0] > 0.98  # exact host rerank
+        # identical quantization + rerank => identical results to unspilled
+        assert _recall(got, ref_ids) > 0.95
+        # tombstones through the host mirror
+        idx.delete(7)
+        got, _ = idx.search(x[7], top_k=5)
+        assert 7 not in got[0]
+
+    def test_subbyte_spill_snapshot_restart(self, monkeypatch, tmp_path):
+        from cosdata_tpu.indexes.hnsw import HNSWIndex, HNSWParams
+        from cosdata_tpu.store.snapshots import _load_one_dense, _save_one_dense
+
+        monkeypatch.setenv("COSDATA_HBM_GB", str(30 / (1 << 20)))
+        params = HNSWParams(num_layers=2, wave_size=256, max_iters=32)
+        idx = HNSWIndex(dim=64, kind="subbyte", resolution=2,
+                        keep_raw="host", initial_capacity=128, params=params)
+        x = _unit(3000, 64, 39)
+        idx.add(x)
+        assert idx.store.codes_on_host and idx.scan_only
+        idx.delete(3)
+        _save_one_dense(idx, tmp_path, [-1.0, 1.0])
+
+        idx2 = HNSWIndex(dim=64, kind="subbyte", resolution=2,
+                         keep_raw="host", initial_capacity=128, params=params)
+        _load_one_dense(idx2, tmp_path, "host")
+        assert idx2.store.codes_on_host and idx2.scan_only
+        assert idx2.store.n == 3000
+        assert isinstance(idx2.store._arrays.planes, np.ndarray)
+        np.testing.assert_array_equal(
+            idx2.store._arrays.planes, np.asarray(idx.store._arrays.planes)
+        )
+        got, vals = idx2.search(x[:5], top_k=5)
+        keep = [0, 1, 2, 4]
+        assert (got[keep, 0] == np.asarray(keep)).all()
+        got3, _ = idx2.search(x[3], top_k=5)
+        assert 3 not in got3[0], "tombstone lost across restart"
+
 
 class TestCodesEngine:
     """Query-CODES flat engine (1-byte/dim wire + bf16 bin-max selection,
