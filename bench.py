@@ -234,10 +234,13 @@ def main():
 
     # wall-clock deadline: sections run value-first, so if remote compiles /
     # tunnel stalls eat the budget the watchdog still emits the JSON line
-    # with everything measured so far. Default is set WELL under the driver
-    # budget that killed the r3 run (r2's full pass was ~1000 s and
-    # survived; r3's deadline of 3300 s did not).
-    deadline_s = float(os.environ.get("BENCH_DEADLINE_S", "900"))
+    # with everything measured so far. The watchdog is the REAL defense:
+    # the driver's SIGTERM cannot interrupt a main thread wedged inside a
+    # blocking device call (the r3 failure mode — handlers only run when
+    # the eval loop resumes), but the daemon thread can. Default sits
+    # under the ~1800 s driver budget inferred from r2 (rc=0 at ~1000 s)
+    # vs r3 (rc=124); warm /tmp + XLA caches make a full pass ~900 s.
+    deadline_s = float(os.environ.get("BENCH_DEADLINE_S", "1650"))
     emitter = Emitter(out, deadline_s)
 
     def deadline_check(section: str, need_s: float = 30.0) -> None:
@@ -265,8 +268,12 @@ def main():
     out["rss_after_gen_gb"] = round(host_rss_gb(), 2)
 
     if probe is not None:
+        # the probe child pays the same per-process first-sync stall as any
+        # process (observed up to ~630 s on a congested day) — a timeout
+        # below that floor falsely declares the tunnel dead and benches the
+        # 1-core CPU fallback instead of the chip
         ok, probe_s, detail = wait_device_probe(
-            probe, float(os.environ.get("BENCH_PROBE_TIMEOUT_S", "420"))
+            probe, float(os.environ.get("BENCH_PROBE_TIMEOUT_S", "900"))
         )
         out["device_probe_s"] = round(probe_s, 1)
         if not ok:

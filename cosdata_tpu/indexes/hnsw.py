@@ -271,25 +271,49 @@ def _prune_candidates(
     chunk: int,
     heuristic: bool,
     node_ids,  # (N,) int32 the node each candidate row belongs to
-    cand_ids,  # (N, C) int32, may contain dups / -1
-    cand_scores,  # (N, C) f32
+    cand_ids,  # (N, C) int32 or tuple of (N, C_t) per-tree parts
+    cand_scores,  # (N, C) f32 (or matching tuple)
     store,
 ):
     """Forward-edge selection for bulk builds: per node, dedup candidates,
     keep the best 2m, then (optionally) diversity-prune to m — one fused
     lax.map over node chunks so the (chunk, 2m, 2m) pairwise block stays
-    bounded. Returns (ids (N, m), dists (N, m))."""
+    bounded. Returns (ids (N, m), dists (N, m)).
+
+    Multi-tree candidates arrive as a TUPLE of per-tree parts and are
+    concatenated per node-chunk inside the scan: an eager (N, sum C_t)
+    concat at 1M x 256 materializes ~2 GB of HBM that the shared chip may
+    not have (observed ResourceExhausted mid-build)."""
     from cosdata_tpu.ops.topk import unique_mask_ids
 
-    n, c = cand_ids.shape
+    parts_i = cand_ids if isinstance(cand_ids, (list, tuple)) else (cand_ids,)
+    parts_s = (
+        cand_scores
+        if isinstance(cand_scores, (list, tuple))
+        else (cand_scores,)
+    )
+    n = parts_i[0].shape[0]
+    c = sum(p.shape[1] for p in parts_i)
     pad = (-n) % chunk
-    ids_p = jnp.pad(cand_ids, ((0, pad), (0, 0)), constant_values=-1)
-    sc_p = jnp.pad(cand_scores, ((0, pad), (0, 0)), constant_values=NEG_INF)
+    ids_p = [
+        jnp.pad(p, ((0, pad), (0, 0)), constant_values=-1).reshape(
+            -1, chunk, p.shape[1]
+        )
+        for p in parts_i
+    ]
+    sc_p = [
+        jnp.pad(p, ((0, pad), (0, 0)), constant_values=NEG_INF).reshape(
+            -1, chunk, p.shape[1]
+        )
+        for p in parts_s
+    ]
     nid_p = jnp.pad(node_ids, ((0, pad),), constant_values=-1)
     keep_c = min(2 * m, c)
 
     def one(args):
-        ids_c, sc_c, nid_c = args
+        ids_l, sc_l, nid_c = args
+        ids_c = ids_l[0] if len(ids_l) == 1 else jnp.concatenate(ids_l, axis=1)
+        sc_c = sc_l[0] if len(sc_l) == 1 else jnp.concatenate(sc_l, axis=1)
         uniq = unique_mask_ids(ids_c)
         ok = uniq & (ids_c >= 0) & (ids_c != nid_c[:, None])
         sc_c = jnp.where(ok, sc_c, NEG_INF)
@@ -309,8 +333,7 @@ def _prune_candidates(
         return jnp.where(t_s > NEG_INF / 2, t_i, -1), t_s
 
     out_i, out_s = jax.lax.map(
-        one, (ids_p.reshape(-1, chunk, c), sc_p.reshape(-1, chunk, c),
-              nid_p.reshape(-1, chunk))
+        one, (ids_p, sc_p, nid_p.reshape(-1, chunk))
     )
     return out_i.reshape(-1, m)[:n], out_s.reshape(-1, m)[:n]
 
@@ -815,17 +838,17 @@ class HNSWIndex:
             if os.environ.get("COSDATA_BUILD_LOG"):
                 jax.block_until_ready(ids_m)
                 _blog(f"  L{level} tree{t} leaf_knn: {time.time() - t0:.1f}s")
-        cand_mem = parts_i[0] if trees == 1 else jnp.concatenate(parts_i, axis=1)
-        sc_mem = parts_s[0] if trees == 1 else jnp.concatenate(parts_s, axis=1)
         mem_pad = np.full(mp, -1, np.int32)
         mem_pad[:n_mem] = members
         mem_dev = jnp.asarray(mem_pad)
         t0 = time.time()
+        # per-tree parts concat inside the prune's chunk scan — never as a
+        # whole-level array (2 GB at 1M x 2 trees, OOMs the shared chip)
         fwd_ids, fwd_d = _prune_candidates(
             self.store.metric, kind, self.store.dim_pad, m_l, 1024, heur,
-            mem_dev, cand_mem, sc_mem, self.store._arrays,
+            mem_dev, tuple(parts_i), tuple(parts_s), self.store._arrays,
         )
-        del cand_mem, sc_mem
+        del parts_i, parts_s
         if os.environ.get("COSDATA_BUILD_LOG"):
             jax.block_until_ready(fwd_ids)
             _blog(f"  L{level} prune: {time.time() - t0:.1f}s")

@@ -455,6 +455,18 @@ def _leaf_knn_body(metric, kind, d, kk, leaf_chunk, leaf_ids, store, rt=0.85):
     return out_i.reshape(-1, L, kk)[:nl], out_s.reshape(-1, L, kk)[:nl]
 
 
+#: reverse-edge source chunk: the compiled program's sort is
+#: (SRC_CHUNK * m)-wide regardless of level size. The monolithic
+#: whole-level variant put a 67M-element 3-operand lax.sort in ONE program
+#: and its XLA compile ran tens of minutes through the remote-compile
+#: tunnel (observed stuck in compile_or_get_cached >12 min at 1M x 64 —
+#: the r3/r4 bench HNSW-section killer); a 4.2M-element sort in a
+#: fori_loop body compiles like every other bulk kernel. m-best merging
+#: is associative, so per-chunk cumulative merges select exactly the same
+#: reverse edges as the global pass.
+REV_SRC_CHUNK = 65536
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("m",),
@@ -468,11 +480,34 @@ def apply_forward_and_reverse(
     fwd_d: jax.Array,  # (Mpad, m)
     m: int,
 ):
-    """Forward-edge writes + reverse-edge merge, one program."""
+    """Forward-edge writes + reverse-edge merge, one program. Levels wider
+    than REV_SRC_CHUNK process reverse edges per source chunk inside a
+    fori_loop (see REV_SRC_CHUNK)."""
     safe_mem = jnp.where(mem >= 0, mem, adj.shape[0])
     adj = adj.at[safe_mem].set(fwd_ids, mode="drop")
     dist = dist.at[safe_mem].set(fwd_d, mode="drop")
-    return _reverse_edges_body(adj, dist, mem, fwd_ids, fwd_d, m, m)
+    w = mem.shape[0]
+    if w <= REV_SRC_CHUNK:
+        return _reverse_edges_body(adj, dist, mem, fwd_ids, fwd_d, m, m)
+    pad = (-w) % REV_SRC_CHUNK
+    mem_p = jnp.pad(mem, (0, pad), constant_values=-1)
+    fi_p = jnp.pad(fwd_ids, ((0, pad), (0, 0)), constant_values=-1)
+    fd_p = jnp.pad(fwd_d, ((0, pad), (0, 0)), constant_values=NEG_INF)
+
+    def body(c, carry):
+        a, dd = carry
+        s0 = c * REV_SRC_CHUNK
+        return _reverse_edges_body(
+            a, dd,
+            jax.lax.dynamic_slice_in_dim(mem_p, s0, REV_SRC_CHUNK),
+            jax.lax.dynamic_slice_in_dim(fi_p, s0, REV_SRC_CHUNK),
+            jax.lax.dynamic_slice_in_dim(fd_p, s0, REV_SRC_CHUNK),
+            m, m,
+        )
+
+    return jax.lax.fori_loop(
+        0, (w + pad) // REV_SRC_CHUNK, body, (adj, dist)
+    )
 
 
 @functools.partial(
@@ -505,10 +540,31 @@ def reverse_from_table(
     mem: jax.Array,  # (Mpad,) int32, -1 padded
     m: int,
 ):
-    """Reverse-edge merge sourcing the CURRENT table rows of ``mem``."""
-    return _reverse_edges_body(
-        adj, dist, mem, adj[jnp.maximum(mem, 0)],
-        dist[jnp.maximum(mem, 0)], m, m,
+    """Reverse-edge merge sourcing the CURRENT table rows of ``mem``.
+
+    Chunked like apply_forward_and_reverse (see REV_SRC_CHUNK); later
+    chunks source rows already refreshed by earlier chunks' merges — a
+    benign freshness skew (NN-descent-family algorithms don't need
+    snapshot semantics), not a correctness difference."""
+    w = mem.shape[0]
+    if w <= REV_SRC_CHUNK:
+        return _reverse_edges_body(
+            adj, dist, mem, adj[jnp.maximum(mem, 0)],
+            dist[jnp.maximum(mem, 0)], m, m,
+        )
+    pad = (-w) % REV_SRC_CHUNK
+    mem_p = jnp.pad(mem, (0, pad), constant_values=-1)
+
+    def body(c, carry):
+        a, dd = carry
+        mem_c = jax.lax.dynamic_slice_in_dim(
+            mem_p, c * REV_SRC_CHUNK, REV_SRC_CHUNK
+        )
+        safe = jnp.maximum(mem_c, 0)
+        return _reverse_edges_body(a, dd, mem_c, a[safe], dd[safe], m, m)
+
+    return jax.lax.fori_loop(
+        0, (w + pad) // REV_SRC_CHUNK, body, (adj, dist)
     )
 
 

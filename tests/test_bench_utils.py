@@ -1,0 +1,125 @@
+"""Tests for bench.py's vectorized helpers.
+
+The bench's hybrid throughput claim depends on `rrf_fuse` (vectorized
+reciprocal-rank fusion, VERDICT r3 weak #6: the old per-query Python dict
+loop). Its segment-sum trick (sort-by-id + run boundaries) is subtle
+enough to deserve a differential test against the obvious dict-based
+fusion (the serving path's own loop, core/collection.py:1099-1110,
+matching search/repo.rs:343-555's k_rrf=60 formula).
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from bench import rrf_fuse  # noqa: E402
+
+
+def rrf_naive(id_lists, k, fetch):
+    """Reference fusion: per-query dict accumulation, ranks within each leg."""
+    b = id_lists[0].shape[0]
+    out = np.full((b, k), -1, np.int64)
+    for row in range(b):
+        acc: dict = {}
+        for leg in id_lists:
+            for rank, i in enumerate(leg[row, :fetch]):
+                if i < 0:
+                    continue
+                acc[int(i)] = acc.get(int(i), 0.0) + 1.0 / (rank + 60.0)
+        top = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        for j, (i, _) in enumerate(top):
+            out[row, j] = i
+    return out
+
+
+def _rrf_scores(id_lists, fetch):
+    """id -> fused score maps per row (for tie-insensitive comparison)."""
+    maps = []
+    for row in range(id_lists[0].shape[0]):
+        acc: dict = {}
+        for leg in id_lists:
+            for rank, i in enumerate(leg[row, :fetch]):
+                if i >= 0:
+                    acc[int(i)] = acc.get(int(i), 0.0) + 1.0 / (rank + 60.0)
+        maps.append(acc)
+    return maps
+
+
+def _assert_fused_matches(got, id_lists, k, fetch):
+    """Fused top-k must match the dict oracle up to exact score ties."""
+    want = rrf_naive(id_lists, k, fetch)
+    maps = _rrf_scores(id_lists, fetch)
+    for row in range(got.shape[0]):
+        gs = [round(maps[row].get(int(i), -1.0), 9) for i in got[row] if i >= 0]
+        ws = [round(maps[row].get(int(i), -1.0), 9) for i in want[row] if i >= 0]
+        assert gs == ws, (row, got[row], want[row])
+        assert all(s > 0 for s in gs)
+
+
+class TestRRFFuse:
+    def test_matches_naive_random(self):
+        rng = np.random.default_rng(3)
+        b, fetch, k = 32, 30, 10
+        legs = [
+            rng.integers(0, 200, size=(b, fetch)).astype(np.int64)
+            for _ in range(2)
+        ]
+        got = rrf_fuse(legs, k, fetch)
+        _assert_fused_matches(got, legs, k, fetch)
+
+    def test_overlap_doubles_score(self):
+        # a doc ranked #5 in both legs must beat a doc ranked #1 in one leg:
+        # 2/(5+60) > 1/(1+60)
+        b, fetch, k = 1, 8, 3
+        leg1 = np.full((b, fetch), -1, np.int64)
+        leg2 = np.full((b, fetch), -1, np.int64)
+        leg1[0, 0] = 100  # rank 0 in leg1 only: 1/60
+        leg1[0, 4] = 7    # rank 4 in both: 2/64
+        leg2[0, 4] = 7
+        got = rrf_fuse([leg1, leg2], k, fetch)
+        assert got[0, 0] == 7 and got[0, 1] == 100
+
+    def test_invalid_ids_ignored(self):
+        rng = np.random.default_rng(5)
+        b, fetch, k = 16, 20, 5
+        legs = [
+            rng.integers(0, 50, size=(b, fetch)).astype(np.int64)
+            for _ in range(2)
+        ]
+        legs[0][:, 10:] = -1  # leg 1 only returned 10 hits
+        legs[1][3, :] = -1    # leg 2 empty for one query
+        got = rrf_fuse(legs, k, fetch)
+        _assert_fused_matches(got, legs, k, fetch)
+        assert got.shape == (b, k)
+
+    def test_all_empty_row(self):
+        legs = [np.full((2, 6), -1, np.int64), np.full((2, 6), -1, np.int64)]
+        legs[1][1, 0] = 9
+        got = rrf_fuse(legs, 4, 6)
+        assert (got[0] == -1).all()
+        assert got[1, 0] == 9 and (got[1, 1:] == -1).all()
+
+    def test_three_legs(self):
+        rng = np.random.default_rng(11)
+        b, fetch, k = 8, 12, 6
+        legs = [
+            rng.integers(0, 40, size=(b, fetch)).astype(np.int64)
+            for _ in range(3)
+        ]
+        got = rrf_fuse(legs, k, fetch)
+        _assert_fused_matches(got, legs, k, fetch)
+
+    def test_duplicate_within_leg(self):
+        # engines can emit the same id twice across rerank tiers; fusion
+        # must not crash and the doc's runs merge into one score
+        leg1 = np.array([[5, 5, 3, -1]], np.int64)
+        leg2 = np.array([[3, 2, -1, -1]], np.int64)
+        got = rrf_fuse([leg1, leg2], 3, 4)
+        # 3: 1/62 + 1/60 ≈ 0.0328 beats 5: 1/60+1/61 ≈ 0.0331 — actually
+        # compute: 5 -> 1/60+1/61 = .03306, 3 -> 1/62+1/60 = .0328
+        assert set(got[0].tolist()) == {5, 3, 2}
+        assert got[0, 0] == 5

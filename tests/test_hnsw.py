@@ -231,6 +231,70 @@ class TestBulkBuild:
         assert (got[:, 0] == ids2[:4]).mean() >= 0.75
 
     @pytest.mark.fast
+    def test_chunked_reverse_matches_global_oracle(self, monkeypatch):
+        """apply_forward_and_reverse processes reverse edges per source
+        chunk inside a fori_loop (REV_SRC_CHUNK — the monolithic 67M-edge
+        sort's XLA compile ran tens of minutes remotely). m-best merging is
+        associative, so the chunked cumulative merge must select exactly
+        the global per-target m-best reverse edges. Oracle in numpy."""
+        import jax.numpy as jnp
+
+        from cosdata_tpu.ops import hnsw_kernels as HK
+
+        rng = np.random.default_rng(41)
+        cap, m, w = 96, 6, 256  # w >> chunk: exercises the loop
+        monkeypatch.setattr(HK, "REV_SRC_CHUNK", 64)
+        # member ids are unique rows of the table (a permutation); the
+        # padded tail is -1 like real bucketed levels
+        mem = np.full(w, -1, np.int32)
+        mem[:cap] = rng.permutation(cap)
+        fwd = np.full((w, m), -1, np.int32)
+        fwd_d = np.full((w, m), -np.inf, np.float32)
+        for i in range(cap):
+            nn = rng.choice(cap, size=m, replace=False)
+            nn = nn[nn != mem[i]][: m - 1]
+            fwd[i, : len(nn)] = nn
+            fwd_d[i, : len(nn)] = rng.uniform(0.1, 1.0, len(nn)).astype(np.float32)
+        adj0 = np.full((cap, m), -1, np.int32)
+        dist0 = np.full((cap, m), -np.inf, np.float32)
+        out_i, out_d = HK.apply_forward_and_reverse(
+            jnp.asarray(adj0), jnp.asarray(dist0), jnp.asarray(mem),
+            jnp.asarray(fwd), jnp.asarray(fwd_d), m,
+        )
+        out_i, out_d = np.asarray(out_i), np.asarray(out_d)
+
+        # numpy oracle: forward writes, then per-target m-best incoming
+        # (dedup vs the row's forward entries), merged to m best total
+        want = {}
+        rows = {int(mem[i]): (fwd[i], fwd_d[i]) for i in range(cap)}
+        incoming: dict = {t: [] for t in range(cap)}
+        for i in range(cap):
+            s = int(mem[i])
+            for j in range(m):
+                t = int(fwd[i, j])
+                if t >= 0 and np.isfinite(fwd_d[i, j]):
+                    incoming[t].append((s, float(fwd_d[i, j])))
+        for t in range(cap):
+            fids, fds = rows[t]
+            cur = [(int(a), float(b)) for a, b in zip(fids, fds) if a >= 0]
+            inc = [
+                (s, d) for s, d in incoming[t]
+                if s not in {a for a, _ in cur}
+            ]
+            merged = sorted(cur + inc, key=lambda p: -p[1])[:m]
+            want[t] = merged
+        for t in range(cap):
+            got = [
+                (int(a), round(float(b), 5))
+                for a, b in zip(out_i[t], out_d[t]) if a >= 0
+            ]
+            exp = [(a, round(b, 5)) for a, b in want[t]]
+            # compare as score-sorted sets (ties may reorder)
+            assert sorted(got, key=lambda p: (-p[1], p[0])) == sorted(
+                exp, key=lambda p: (-p[1], p[0])
+            ), (t, got, exp)
+
+    @pytest.mark.fast
     def test_upper_adjacency_values_are_node_ids(self):
         """Structural invariant of the bulk-built graph: every upper-level
         neighbor value is a NODE ID whose own level reaches that level
