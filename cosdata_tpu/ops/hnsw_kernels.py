@@ -732,9 +732,13 @@ def _reverse_edges_body(adj, dist, src, fwd_rows, fwd_d, m, g_cap, chunk=65536):
     first = jnp.concatenate(
         [jnp.ones((1,), bool), tgt_s[1:] != tgt_s[:-1]]
     )
-    seg_start = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(first, pos, 0)
-    )
+    # lax.cummax, NOT lax.associative_scan(jnp.maximum): both compute the
+    # same inclusive running max, but associative_scan traces its log-depth
+    # slice/concat network into the program and the TPU backend's compile
+    # of it at 4.2M elements never finished (>15 min, measured by
+    # scripts/probe_compile.py) — the r3/r4 "finalize stall". cummax
+    # lowers to the dedicated cumulative-op path: 7.6 s compile, same run.
+    seg_start = jax.lax.cummax(jnp.where(first, pos, 0))
     rank = pos - seg_start  # quality rank within target (best = 0)
     keep = (rank < g_cap) & (tgt_s < rows_n)
     # dropped entries get UNIQUE out-of-bounds rows so unique_indices

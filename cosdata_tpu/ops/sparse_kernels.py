@@ -221,9 +221,12 @@ def csr_segment_topk(
     last = jnp.concatenate(
         [ids_s[:, :-1] != ids_s[:, 1:], jnp.ones((b, 1), bool)], axis=1
     )
-    seg_start = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(first, pos, 0), axis=1
-    )
+    # cummax, not associative_scan: same inclusive running max, but
+    # associative_scan's traced log-depth network compiles pathologically
+    # on the TPU backend (never finished at 4.2M in the hnsw reverse pass,
+    # scripts/probe_compile.py; this one is only B x 65536 but the same
+    # lowering) — cummax uses the dedicated cumulative-op path
+    seg_start = jax.lax.cummax(jnp.where(first, pos, 0), axis=1)
     before = jnp.where(
         seg_start > 0,
         jnp.take_along_axis(csum, jnp.maximum(seg_start - 1, 0), axis=1),

@@ -31,6 +31,7 @@ E = (1 << 16) * m  # one REV_SRC_CHUNK of edges = 4.2M
 print(f"warmup {warmup_device():.1f}s", flush=True)
 
 pieces = set(sys.argv[1:]) or {
+    "cummax",
     "sort", "scan", "scatter", "inc", "merge", "body", "chunked", "nnd"
 }
 
@@ -75,6 +76,18 @@ if "scan" in pieces:
         return pos - seg_start
 
     probe("assoc_scan_4.2M", scan_probe, dict(tgt_s=jnp.asarray(tgt_np)), {})
+
+if "cummax" in pieces:
+    @jax.jit
+    def cummax_probe(tgt_s):
+        pos = jnp.arange(E, dtype=jnp.int32)
+        first = jnp.concatenate(
+            [jnp.ones((1,), bool), tgt_s[1:] != tgt_s[:-1]]
+        )
+        seg_start = jax.lax.cummax(jnp.where(first, pos, 0))
+        return pos - seg_start
+
+    probe("cummax_4.2M", cummax_probe, dict(tgt_s=jnp.asarray(tgt_np)), {})
 
 if "scatter" in pieces or "inc" in pieces:
     @functools.partial(jax.jit, static_argnames=("g_cap",))
