@@ -169,12 +169,19 @@ class FlatIndex:
 
                 qc = self.store.ship_query_codes(queries)
                 raw = self.store._raw if do_rerank else qc.data
+                # exact queries for the rerank stage (f16 wire): the scan
+                # runs on codes, but reranking with a re-dequantized u8
+                # query caps recall on tie-dense corpora (flat_scan.py)
+                q_re = (
+                    self.store._pad_dims(queries, ship_f16=True)
+                    if do_rerank else qc.mags
+                )
                 group = 32
                 k_bins = max(64, -(-k_fetch // group) * 2)
                 return fused_flat_search_codes(
                     self.store.metric, self.store.dim, self.store.dim_pad,
                     k_bins, group, k_fetch, top_k, self.SCAN_CHUNK,
-                    do_rerank, qc, self.store._arrays, raw, mask,
+                    do_rerank, qc, self.store._arrays, raw, q_re, mask,
                 )
             q_raw = self.store.ship_queries(queries)
             raw = self.store._raw if do_rerank else q_raw

@@ -1482,12 +1482,16 @@ class HNSWIndex:
 
                 qc = self.store.ship_query_codes(queries)
                 raw = self.store._raw if do_rerank else qc.data
+                q_re = (
+                    self.store._pad_dims(queries, ship_f16=True)
+                    if do_rerank else qc.mags
+                )
                 group = 32
                 k_bins = max(64, -(-keep // group) * 2)
                 ids, vals = fused_flat_search_codes(
                     self.store.metric, self.store.dim, self.store.dim_pad,
                     k_bins, group, keep, top_k, self.SCAN_CHUNK, do_rerank,
-                    qc, self.store._arrays, raw, valid,
+                    qc, self.store._arrays, raw, q_re, valid,
                 )
                 return ids[:b], vals[:b]
             q_raw = self.store.ship_queries(queries)

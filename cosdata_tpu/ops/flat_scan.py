@@ -128,6 +128,12 @@ def fused_flat_search_codes(
     q,  # quantized u8 query pytree (B rows) — codes shipped 1 byte/dim
     store,  # quantized u8 store pytree
     raw,  # (cap, d_pad) f32/f16 raw rows (dummy when rerank=False)
+    q_re,  # (B, d_pad) f16/f32 exact queries for the rerank (dummy when
+    #       rerank=False). Scanning quantizes both sides; the RERANK must
+    #       not: a dequantized-u8 query reorders near-ties and caps
+    #       recall@10 at ~0.95 on clustered 1M x 768 no matter how wide
+    #       the shortlist (measured, scripts/exp_r4_flat.py) — while f16
+    #       queries cost 1.5 MB per 1024-batch next to the 768 MB scan.
     valid,  # (cap,) bool
 ):
     """u8 flat scan tuned for wire and selection cost (the r3 headline
@@ -182,13 +188,26 @@ def fused_flat_search_codes(
         and _os.environ.get("COSDATA_PALLAS_SCAN", "1") != "0"
     )
     if select != "bins":
+        # u8 dot scores are integer-valued sums: bf16's 8-bit mantissa
+        # collapses them into ties above ~256 and approx_max_k breaks the
+        # ties arbitrarily, so tie-dense (clustered) corpora lose true
+        # top-k rows out of the shortlist before the exact rerank can save
+        # them (measured 0.9499 recall@10 at 1M x 768 vs 0.95+ required).
+        # f32 selection doubles the (B, chunk) score write; set
+        # COSDATA_SCAN_SEL=bf16 to restore the cheaper cast.
+        sel_dtype = (
+            jnp.bfloat16
+            if _os.environ.get("COSDATA_SCAN_SEL", "f32") == "bf16"
+            else jnp.float32
+        )
+
         def abody(c, carry):
             top_s, top_i = carry
             start = c * chunk
             sl = _slice_store(store, "u8", start, chunk)
             scores = D.score(metric, "u8", q, sl, d_pad)  # (B, chunk)
             v = jax.lax.dynamic_slice_in_dim(valid, start, chunk)
-            scores = jnp.where(v[None, :], scores, NEG_INF).astype(jnp.bfloat16)
+            scores = jnp.where(v[None, :], scores, NEG_INF).astype(sel_dtype)
             c_s, c_i = jax.lax.approx_max_k(
                 scores, min(k_fetch, chunk), recall_target=0.99
             )
@@ -205,9 +224,8 @@ def fused_flat_search_codes(
         )
         vals, ids = jax.lax.fori_loop(0, num_chunks, abody, init)
         if rerank:
-            q_deq = q.a * (q.data.astype(jnp.float32) + 128.0) + q.b
             lanes = jnp.arange(d_pad) < d_true
-            q_deq = jnp.where(lanes[None, :], q_deq, 0.0)
+            q_deq = jnp.where(lanes[None, :], q_re.astype(jnp.float32), 0.0)
             safe = jnp.maximum(ids, 0)
             cand = raw[safe].astype(jnp.float32)
             dot = _Sdiag(q_deq, cand, int8=False)
@@ -318,11 +336,9 @@ def fused_flat_search_codes(
     )
     vals, ids = jax.lax.fori_loop(0, p_total // ch, exp_body, init)
     if rerank:
-        # exact rerank against raw rows, query = dequantized codes (the
-        # only query representation on device)
-        q_deq = q.a * (q.data.astype(jnp.float32) + 128.0) + q.b
+        # exact rerank against raw rows with the EXACT (f16-wire) queries
         lanes = jnp.arange(d_pad) < d_true
-        q_deq = jnp.where(lanes[None, :], q_deq, 0.0)
+        q_deq = jnp.where(lanes[None, :], q_re.astype(jnp.float32), 0.0)
         safe = jnp.maximum(ids, 0)
         cand = raw[safe].astype(jnp.float32)  # (B, kf, D)
         dot = _Sdiag(q_deq, cand, int8=False)
