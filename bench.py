@@ -522,7 +522,11 @@ def main():
         # CPU), so budget-vs-oracle overlap@k is the true quality metric
         saved = inv.SCAN_BUDGET
         inv.SCAN_BUDGET = 1 << 30
+        # the oracle must rescore EVERY budgeted slot, not nominate
+        # (the served engine nominates by contribution + rescores exactly)
+        os.environ["COSDATA_SPARSE_EXHAUSTIVE"] = "1"
         ids_ex, _ = inv.search(queries, top_k=k)
+        os.environ.pop("COSDATA_SPARSE_EXHAUSTIVE", None)
         inv.SCAN_BUDGET = saved
         sp_vs_exact = np.mean([
             len(set(map(int, ids[j])) & set(map(int, ids_ex[j]))) / k
@@ -602,7 +606,9 @@ def main():
         # measured against the unbudgeted full-scan oracle instead
         saved = (tfi.SCAN_BUDGET, tfi.MAX_TERM_POSTINGS)
         tfi.SCAN_BUDGET, tfi.MAX_TERM_POSTINGS = 1 << 30, 1 << 30
+        os.environ["COSDATA_SPARSE_EXHAUSTIVE"] = "1"
         ids_ex, _ = tfi.search(bq, top_k=k)
+        os.environ.pop("COSDATA_SPARSE_EXHAUSTIVE", None)
         tfi.SCAN_BUDGET, tfi.MAX_TERM_POSTINGS = saved
         bm_vs_exact = np.mean([
             len(set(map(int, ids[j])) & set(map(int, ids_ex[j]))) / k

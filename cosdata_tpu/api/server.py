@@ -437,10 +437,17 @@ class Server:
         coll = await self._coll(request)
         if coll.tfidf is None:
             raise KeyError("tf-idf index not found")
+        queries = body["queries"]
+        # DTO parity: queries is Vec<String> (search/dtos.rs:136-141) —
+        # serde would reject non-strings with 400, not surface a 500
+        if not isinstance(queries, list) or not all(
+            isinstance(q, str) for q in queries
+        ):
+            raise ValueError("queries must be a list of strings")
         results = await _run(
             request,
             coll.search_tfidf,
-            body["queries"],
+            queries,
             int(body.get("top_k") or 10),
             bool(body.get("return_raw_text", False)),
         )

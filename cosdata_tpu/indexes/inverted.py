@@ -31,6 +31,7 @@ kernels:
 from __future__ import annotations
 
 import math
+import os
 import threading
 
 import jax
@@ -162,16 +163,37 @@ def impact_segments_batch(
 def rescore_dispatch(
     starts, lens, csr_ids, doc_dims_dev, doc_vals_dev, q_idx, q_w,
     alive_dev, vocab_pad: int, top_k: int, segcap: int, dup_slack: int,
-    n_cap: int,
+    n_cap: int, mults=None, csr_vals=None,
 ):
-    """Query-chunked dispatch of the candidate gather-rescore kernel +
-    host duplicate-collapse (shared by the sparse and BM25 indexes)."""
-    from cosdata_tpu.ops.sparse_kernels import candidates_rescore_topk
+    """Query-chunked dispatch of the candidate nominate+rescore kernel +
+    host duplicate-collapse (shared by the sparse and BM25 indexes).
+
+    Default engine: contribution nomination + exact rescore of the `nom`
+    winners only (ops/sparse_kernels.nominate_rescore_topk) — 8 B of
+    gather per budgeted posting instead of a full R-wide doc row per slot
+    (the exhaustive kernel moved ~2 GB of sub-cacheline gathers per
+    64-query dispatch: 2.2-24 s/batch measured, scripts/exp_r4_sparse.py).
+    COSDATA_SPARSE_EXHAUSTIVE=1 restores the rescore-every-slot kernel
+    (requires no mults/csr_vals); nomination width: COSDATA_SPARSE_NOM."""
+    from cosdata_tpu.ops.sparse_kernels import (
+        candidates_rescore_topk,
+        nominate_rescore_topk,
+    )
 
     b = len(starts)
     fetch = min(top_k * dup_slack, n_cap)
     r = doc_dims_dev.shape[1]
     maxd = starts.shape[1]
+    exhaustive = (
+        mults is None
+        or csr_vals is None
+        or os.environ.get("COSDATA_SPARSE_EXHAUSTIVE", "") == "1"
+    )
+    # nomination width: every duplicate nomination (one doc hit by several
+    # query dims) burns a slot, so keep nom >> fetch
+    nom = int(os.environ.get("COSDATA_SPARSE_NOM", "0")) or min(
+        max(2 * fetch, 512), n_cap
+    )
     chunk_q = SEG_QUERY_CHUNK
     # bound BOTH workspaces: the (chunk_q, maxd*segcap) candidate-id
     # expansion (an unbounded-budget oracle at maxd=64k segments built
@@ -179,7 +201,8 @@ def rescore_dispatch(
     # (chunk_q, cand_chunk, R) gather blocks
     while chunk_q > 1 and chunk_q * maxd * segcap > (1 << 25):
         chunk_q //= 2
-    while chunk_q > 8 and chunk_q * 16384 * r > (1 << 27):
+    gather_w = nom if not exhaustive else 16384
+    while chunk_q > 8 and chunk_q * gather_w * r > (1 << 27):
         chunk_q //= 2
     cand_chunk = max(2048, min(16384, (1 << 27) // max(chunk_q * r, 1)))
     if b % chunk_q:
@@ -188,15 +211,26 @@ def rescore_dispatch(
         lens = np.pad(lens, ((0, grow), (0, 0)))
         q_idx = np.pad(q_idx, ((0, grow), (0, 0)), constant_values=-1)
         q_w = np.pad(q_w, ((0, grow), (0, 0)))
+        if mults is not None:
+            mults = np.pad(mults, ((0, grow), (0, 0)))
     outs = []
     for s in range(0, len(starts), chunk_q):
         e = s + chunk_q
-        outs.append(candidates_rescore_topk(
-            jnp.asarray(starts[s:e]), jnp.asarray(lens[s:e]),
-            csr_ids, doc_dims_dev, doc_vals_dev,
-            jnp.asarray(q_idx[s:e]), jnp.asarray(q_w[s:e]),
-            alive_dev, vocab_pad, fetch, segcap, cand_chunk,
-        ))
+        if exhaustive:
+            outs.append(candidates_rescore_topk(
+                jnp.asarray(starts[s:e]), jnp.asarray(lens[s:e]),
+                csr_ids, doc_dims_dev, doc_vals_dev,
+                jnp.asarray(q_idx[s:e]), jnp.asarray(q_w[s:e]),
+                alive_dev, vocab_pad, fetch, segcap, cand_chunk,
+            ))
+        else:
+            outs.append(nominate_rescore_topk(
+                jnp.asarray(starts[s:e]), jnp.asarray(lens[s:e]),
+                jnp.asarray(mults[s:e]), csr_ids, csr_vals,
+                doc_dims_dev, doc_vals_dev,
+                jnp.asarray(q_idx[s:e]), jnp.asarray(q_w[s:e]),
+                alive_dev, vocab_pad, fetch, nom, segcap, 1 << 16,
+            ))
     scores = np.concatenate([np.asarray(o[0]) for o in outs])[:b]
     ids = np.concatenate([np.asarray(o[1], np.int64) for o in outs])[:b]
     return _dedup_topk(ids, scores, top_k)
@@ -930,12 +964,14 @@ class InvertedIndex:
             # dense-head + CSR-tail engine: head dims scanned fully on the
             # MXU, tail candidates gathered + rescored, union rescored
             # exactly from raw rows (see _search_head)
-            return self._search_head(queries, starts, lens, top_k)
+            return self._search_head(queries, starts, lens, mults, top_k)
         if self.keep_raw:
             # gather-rescore path: budgeted prefixes nominate candidates,
             # each scored EXACTLY from its raw row — no scatter, and the
             # optional raw rerank is subsumed (scores already exact)
-            out_ids, scores = self._rescore_csr(queries, starts, lens, top_k)
+            out_ids, scores = self._rescore_csr(
+                queries, starts, lens, mults, top_k
+            )
             return out_ids, scores
         out_ids, scores = _score_csr(
             starts, lens, mults, self._csr_ids, self._csr_vals,
@@ -944,7 +980,7 @@ class InvertedIndex:
         out_ids, scores = out_ids[:, :top_k], scores[:, :top_k]
         return out_ids, scores
 
-    def _rescore_csr(self, queries, starts, lens, top_k):
+    def _rescore_csr(self, queries, starts, lens, mults, top_k):
         """Device dispatch of the candidate gather-rescore kernel, query-
         chunked to a bounded workspace, + host duplicate-collapse."""
         self._ensure_doc_rows()
@@ -972,6 +1008,7 @@ class InvertedIndex:
             starts, lens, self._csr_ids, self._doc_dims_dev,
             self._doc_vals_dev, q_idx, q_w, self._alive_dev, vocab_pad,
             top_k, self.SEGCAP, self.DUP_SLACK, self.n_cap,
+            mults=mults, csr_vals=self._csr_vals,
         )
 
     #: nomination width multiplier: each source (head matmul, tail gather)
@@ -983,7 +1020,7 @@ class InvertedIndex:
     #: width costs only gather rows)
     NOMINATE = 8
 
-    def _search_head(self, queries, starts, lens, top_k):
+    def _search_head(self, queries, starts, lens, mults, top_k):
         """Dense-head + CSR-tail search.
 
         1. Head nomination: q_head @ head_codes on the MXU — every posting
@@ -1033,6 +1070,7 @@ class InvertedIndex:
         if bp > b:
             starts = np.pad(starts, ((0, bp - b), (0, 0)), constant_values=-1)
             lens = np.pad(lens, ((0, bp - b), (0, 0)))
+            mults = np.pad(mults, ((0, bp - b), (0, 0)))
         nom = int(min(max(self.NOMINATE * top_k, 64), self.n_cap))
         chunk = min(self.n_cap, 1 << 16)
         h_sc, h_ids = head_matmul_topk(
@@ -1043,6 +1081,7 @@ class InvertedIndex:
             starts, lens, self._csr_ids, self._doc_dims_dev,
             self._doc_vals_dev, q_idx, q_w, self._alive_dev, vocab_pad,
             nom, self.SEGCAP, self.DUP_SLACK, self.n_cap,
+            mults=mults, csr_vals=self._csr_vals,
         )
         cand = np.concatenate(
             [np.asarray(h_ids, np.int64), t_ids], axis=1

@@ -309,10 +309,73 @@ class TFIDFIndex:
         doc_tfs[docs_sorted[keep], cols[keep]] = tfs_sorted[keep]
         self._doc_terms_dev = jnp.asarray(doc_terms)
         self._doc_tfs_dev = jnp.asarray(doc_tfs)
+        self._csr_gen = getattr(self, "_csr_gen", 0) + 1
+        self._select_head()
         self._csr_dirty = False
 
     #: tf-bucket resolution of the allocator's per-term count tables
     TF_BUCKETS = 128
+
+    #: dense-head engine knobs (mirrors InvertedIndex): terms with df >=
+    #: HEAD_MIN_DF become columns of a device (Dh, n_cap) u8 tf matrix
+    #: scored by one MXU matmul — every posting of every head term, no
+    #: budget. BM25's true top-k accumulates Σ idf·tf across terms, so
+    #: per-posting contribution nomination alone loses docs whose mass is
+    #: spread over common terms (measured 0.622 recall_vs_exact at 100k
+    #: docs, scripts/exp_r4_sparse.py); the head matmul restores exact
+    #: (quantized) accumulation for exactly those tie-dense head lists.
+    HEAD_MIN_DF = 64
+    HEAD_MIN_CAP = 32768
+    HEAD_BYTES_MAX = 1 << 30
+    HEAD_DH_MAX = 8192
+    #: nomination width multiplier into the exact final rescore
+    NOMINATE = 8
+
+    def _select_head(self):
+        """Pick head terms from the df tables (called by _build_csr)."""
+        nt = len(self._term_sorted)
+        self._head_col = np.full(nt, -1, np.int32)
+        self._head_tidx = np.zeros(0, np.int64)
+        if self.n_cap < self.HEAD_MIN_CAP or nt == 0:
+            return
+        dh_cap = min(self.HEAD_DH_MAX, self.HEAD_BYTES_MAX // max(self.n_cap, 1))
+        if dh_cap < 128:
+            return
+        cand = np.nonzero(self._term_len >= self.HEAD_MIN_DF)[0]
+        if len(cand) > dh_cap:
+            top = cand[np.argsort(-self._term_len[cand], kind="stable")[:dh_cap]]
+            cand = np.sort(top)
+        if not len(cand):
+            return
+        self._head_col[cand] = np.arange(len(cand), dtype=np.int32)
+        self._head_tidx = cand.astype(np.int64)
+
+    def _ensure_head(self):
+        """Build/refresh the device (Dh, n_cap) u8 dense tf head matrix."""
+        gen = (self._csr_gen, self.n_cap)
+        if getattr(self, "_head_gen", None) == gen:
+            return
+        hd = self._head_tidx
+        if not len(hd):
+            self._head_codes_dev = None
+            self._head_scale = 1.0
+            self._head_gen = gen
+            return
+        dh_pad = max(_next_pow2(len(hd)), 128)
+        mat = np.zeros((dh_pad, self.n_cap), np.uint8)
+        cols = self._head_col[self._csr_term_idx]
+        sel = cols >= 0
+        # global tf scale: BM25 tf is bounded by k1+1, so one scale keeps
+        # relative order across terms; nomination only (exact rescore after)
+        tf_max = float(self._h_tfs.max()) if len(self._h_tfs) else 1.0
+        self._head_scale = max(tf_max, 1e-30)
+        q255 = np.minimum(
+            self._h_tfs[sel] / self._head_scale * 255.0, 255.0
+        ).astype(np.uint8)
+        flat = cols[sel].astype(np.int64) * self.n_cap + self._h_ids_sorted[sel]
+        mat.reshape(-1)[flat] = q255
+        self._head_codes_dev = jnp.asarray(mat)
+        self._head_gen = gen
 
     def _refresh_live_df(self):
         """Vectorized live-document-frequency recount (idf must track only
@@ -377,6 +440,15 @@ class TFIDFIndex:
         idf = np.log1p((N_live - df + 0.5) / (df + 0.5)).astype(np.float32)
         pos_w = idf > 0.0
         qi, tidx, idf = qi[pos_w], tidx[pos_w], idf[pos_w]
+        # dense-head split: head terms are scanned in full by one MXU
+        # matmul (no budget); only tail terms go through the budgeted
+        # posting-prefix nomination (see _select_head)
+        self._ensure_head()
+        use_head = self._head_codes_dev is not None
+        if use_head:
+            is_head = self._head_col[tidx] >= 0
+            qi_h, tidx_h, idf_h = qi[is_head], tidx[is_head], idf[is_head]
+            qi, tidx, idf = qi[~is_head], tidx[~is_head], idf[~is_head]
         maxper = max(self.MAX_TERM_POSTINGS, budget // 8)
         caps = np.minimum(self._term_len[tidx], maxper)
         order = np.lexsort((-idf, qi))  # highest-idf terms first per query
@@ -395,23 +467,79 @@ class TFIDFIndex:
         # association, sparse_ann_query.rs:149-233 — no 512-bucket top-k
         # approximation, no scatter)
         from cosdata_tpu.indexes.inverted import (
+            _dedup_topk,
             _next_pow2 as _np2,
             rescore_dispatch,
         )
 
+        # the EXACT rescore scores the full query (head + tail terms): its
+        # dense idf rows carry every present term regardless of the split
+        if use_head:
+            qi_all = np.concatenate([qi, qi_h])
+            tidx_all = np.concatenate([tidx, tidx_h])
+            idf_all = np.concatenate([idf, idf_h])
+            order_all = np.argsort(qi_all, kind="stable")
+            qi_all = qi_all[order_all]
+            tidx_all, idf_all = tidx_all[order_all], idf_all[order_all]
+        else:
+            qi_all, tidx_all, idf_all = qi, tidx, idf
         qt_max = max(
-            _np2(int(np.bincount(qi, minlength=b).max()) if len(qi) else 1), 8
+            _np2(int(np.bincount(qi_all, minlength=b).max())
+                 if len(qi_all) else 1), 8
         )
         q_idx_arr = np.full((b, qt_max), -1, np.int32)
         q_w_arr = np.zeros((b, qt_max), np.float32)
-        if len(qi):
-            qstart = np.searchsorted(qi, np.arange(b))
-            cols = np.arange(len(qi)) - qstart[qi]
-            q_idx_arr[qi, cols] = tidx.astype(np.int32)
-            q_w_arr[qi, cols] = idf
+        if len(qi_all):
+            qstart = np.searchsorted(qi_all, np.arange(b))
+            cols = np.arange(len(qi_all)) - qstart[qi_all]
+            q_idx_arr[qi_all, cols] = tidx_all.astype(np.int32)
+            q_w_arr[qi_all, cols] = idf_all
         vocab_pad = max(_np2(len(self._term_sorted)), 128)
-        return rescore_dispatch(
+        if not use_head:
+            return rescore_dispatch(
+                starts, lens, self._csr_ids, self._doc_terms_dev,
+                self._doc_tfs_dev, q_idx_arr, q_w_arr, self._alive_dev,
+                vocab_pad, min(top_k, self.n_cap), self.SEGCAP, 8, self.n_cap,
+                mults=mults, csr_vals=self._csr_vals,
+            )
+        # ---- dense-head + tail union, exact final rescore ----
+        from cosdata_tpu.ops.sparse_kernels import (
+            head_matmul_topk,
+            rescore_ids_topk,
+        )
+
+        nom = int(min(max(self.NOMINATE * top_k, 64), self.n_cap))
+        t_ids, _t_sc = rescore_dispatch(
             starts, lens, self._csr_ids, self._doc_terms_dev,
             self._doc_tfs_dev, q_idx_arr, q_w_arr, self._alive_dev,
-            vocab_pad, min(top_k, self.n_cap), self.SEGCAP, 8, self.n_cap,
+            vocab_pad, nom, self.SEGCAP, 8, self.n_cap,
+            mults=mults, csr_vals=self._csr_vals,
         )
+        bp = max(_np2(b), 8)  # compile-shape stability
+        dh_pad = self._head_codes_dev.shape[0]
+        q_head = np.zeros((bp, dh_pad), np.float32)
+        np.add.at(q_head, (qi_h, self._head_col[tidx_h]), idf_h)
+        chunk = min(self.n_cap, 1 << 16)
+        h_sc, h_ids = head_matmul_topk(
+            jnp.asarray(q_head), self._head_codes_dev, self._alive_dev,
+            nom, chunk,
+        )
+        cand = np.concatenate(
+            [np.asarray(h_ids[:b], np.int64), t_ids], axis=1
+        ).astype(np.int32)
+        if bp > b:
+            q_idx_arr = np.pad(
+                q_idx_arr, ((0, bp - b), (0, 0)), constant_values=-1
+            )
+            q_w_arr = np.pad(q_w_arr, ((0, bp - b), (0, 0)))
+            cand = np.pad(cand, ((0, bp - b), (0, 0)), constant_values=-1)
+        fetch = min(2 * top_k, cand.shape[1])
+        f_sc, f_ids = rescore_ids_topk(
+            jnp.asarray(cand), self._doc_terms_dev, self._doc_tfs_dev,
+            jnp.asarray(q_idx_arr), jnp.asarray(q_w_arr), self._alive_dev,
+            vocab_pad, fetch,
+        )
+        out_i, out_s = _dedup_topk(
+            np.asarray(f_ids, np.int64), np.asarray(f_sc), top_k
+        )
+        return out_i[:b], out_s[:b]

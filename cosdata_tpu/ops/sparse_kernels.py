@@ -90,6 +90,130 @@ def csr_accumulate_topk(
 
 @functools.partial(
     jax.jit,
+    static_argnames=("vocab_pad", "k_fetch", "nom", "segcap", "slot_chunk"),
+)
+def nominate_rescore_topk(
+    starts: jax.Array,  # (B, MAXD) int32 posting-segment offsets (-1 unused)
+    lens: jax.Array,  # (B, MAXD) int32 segment lengths (<= segcap)
+    mults: jax.Array,  # (B, MAXD) f32 per-segment multiplier (qqv or idf)
+    post_ids: jax.Array,  # (P,) int32 posting doc ids
+    post_vals: jax.Array,  # (P,) f32 posting values (bucketed/tf)
+    doc_dims: jax.Array,  # (n_cap, R) int32 COMPACT dim idx per doc, 0-pad
+    doc_vals: jax.Array,  # (n_cap, R) f32 raw values per doc, 0-padded
+    q_dim_idx: jax.Array,  # (B, QD) int32 compact idx of query dims (-1 pad)
+    q_weights: jax.Array,  # (B, QD) f32 query weight per dim (qv / idf)
+    alive: jax.Array,  # (n_cap,) bool
+    vocab_pad: int,
+    k_fetch: int,
+    nom: int,
+    segcap: int,
+    slot_chunk: int,
+):
+    """Contribution-nominated candidate set + EXACT raw-row rescore.
+
+    candidates_rescore_topk gathers a full (R-wide, ~0.5 KB) doc row for
+    EVERY budgeted posting slot — ~2 GB of sub-cacheline random gathers
+    per 64-query dispatch at the 65536-posting budget, measured 2.2 s
+    (sparse) / 24 s (BM25) per batch on-chip (scripts/exp_r4_sparse.py).
+    This kernel nominates first and gathers rows only for the winners:
+
+    1. per-slot contribution = mult * post_val (8 B of gather per slot —
+       the impact ordering the budget allocator already truncates by,
+       sparse_ann_query.rs:89-126's early-termination weight);
+    2. global top-`nom` contributions per query select candidate docs
+       (their posting lists are value-descending, so this is exactly a
+       WAND-style merge of list prefixes at threshold = the nom-th best
+       contribution);
+    3. only those `nom` docs get the (R-wide) exact raw-row rescore —
+       score = Σ_j qdense[dim_j]·val_j, identical to the exhaustive
+       kernel for every nominated doc.
+
+    A true top-k doc is missed only if ALL its per-posting contributions
+    rank below the nom-th best while its sum still makes top-k; `nom` >>
+    k*dup_slack absorbs that (duplicates: a doc nominated by several dims
+    occupies that many nomination slots; the caller dedups after).
+
+    Returns (scores (B, k_fetch), ids (B, k_fetch)).
+    """
+    b, maxd = starts.shape
+    rows_q = jax.lax.broadcasted_iota(jnp.int32, q_dim_idx.shape, 0)
+    safe_qd = jnp.where(q_dim_idx >= 0, q_dim_idx, vocab_pad)
+    qdense = jnp.zeros((b, vocab_pad + 1), jnp.float32)
+    qdense = qdense.at[rows_q, safe_qd].add(
+        jnp.where(q_dim_idx >= 0, q_weights, 0.0), mode="drop"
+    )
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, segcap), 2)
+    idx = starts[:, :, None] + iota
+    valid = (iota < lens[:, :, None]) & (starts[:, :, None] >= 0)
+    safe = jnp.clip(idx, 0, post_ids.shape[0] - 1)
+    ids = jnp.where(valid, post_ids[safe], -1).reshape(b, maxd * segcap)
+    contrib = jnp.where(
+        valid, mults[:, :, None] * post_vals[safe], NEG_INF
+    ).reshape(b, maxd * segcap)
+    contrib = jnp.where(
+        (ids >= 0) & alive[jnp.maximum(ids, 0)], contrib, NEG_INF
+    )
+    p = ids.shape[1]
+    pad = (-p) % slot_chunk
+    if pad:
+        ids = jnp.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
+        contrib = jnp.pad(contrib, ((0, 0), (0, pad)), constant_values=NEG_INF)
+    n_chunks = ids.shape[1] // slot_chunk
+    nom_eff = min(nom, slot_chunk)
+
+    def body(c, carry):
+        top_s, top_i = carry
+        c_contrib = jax.lax.dynamic_slice_in_dim(
+            contrib, c * slot_chunk, slot_chunk, axis=1
+        )
+        c_ids = jax.lax.dynamic_slice_in_dim(
+            ids, c * slot_chunk, slot_chunk, axis=1
+        )
+        if jax.default_backend() == "tpu":
+            c_s, c_pos = jax.lax.approx_max_k(
+                c_contrib, nom_eff, recall_target=0.99
+            )
+        else:
+            # approx_max_k compiles pathologically slowly on XLA:CPU
+            c_s, c_pos = jax.lax.top_k(c_contrib, nom_eff)
+        c_i = jnp.take_along_axis(c_ids, c_pos, axis=1)
+        all_s = jnp.concatenate([top_s, c_s], axis=1)
+        all_i = jnp.concatenate([top_i, c_i], axis=1)
+        top_s, pos = jax.lax.top_k(all_s, nom_eff)
+        top_i = jnp.take_along_axis(all_i, pos, axis=1)
+        return top_s, top_i
+
+    init = (
+        jnp.full((b, nom_eff), NEG_INF, jnp.float32),
+        jnp.full((b, nom_eff), -1, jnp.int32),
+    )
+    _nom_s, nom_ids = jax.lax.fori_loop(0, n_chunks, body, init)
+    # exact rescore of the nominated docs only
+    safe_c = jnp.maximum(nom_ids, 0)
+    dd = doc_dims[safe_c]  # (B, nom, R)
+    dv = doc_vals[safe_c]
+    r = dd.shape[2]
+    qv = jnp.take_along_axis(qdense, dd.reshape(b, -1), axis=1).reshape(
+        b, nom_eff, r
+    )
+    sc = jnp.sum(qv * dv, axis=-1)
+    ok = (nom_ids >= 0) & alive[safe_c]
+    sc = jnp.where(ok, sc, NEG_INF)
+    kf = min(k_fetch, nom_eff)
+    top_s, pos = jax.lax.top_k(sc, kf)
+    top_i = jnp.take_along_axis(nom_ids, pos, axis=1)
+    top_i = jnp.where(top_s > NEG_INF / 2, top_i, -1)
+    top_s = jnp.where(top_s > NEG_INF / 2, top_s, 0.0)
+    if kf < k_fetch:
+        top_i = jnp.pad(
+            top_i, ((0, 0), (0, k_fetch - kf)), constant_values=-1
+        )
+        top_s = jnp.pad(top_s, ((0, 0), (0, k_fetch - kf)))
+    return top_s, top_i
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("vocab_pad", "k_fetch", "segcap", "cand_chunk"),
 )
 def candidates_rescore_topk(

@@ -70,6 +70,18 @@ if which in ("sparse", "both"):
     prof(lambda: inv.search(queries, top_k=k), "sparse b64")
     qbig = queries * 4
     prof(lambda: inv.search(qbig, top_k=k), "sparse b256")
+    ids, _ = inv.search(queries, top_k=k)
+    saved = inv.SCAN_BUDGET
+    inv.SCAN_BUDGET = 1 << 30
+    os.environ["COSDATA_SPARSE_EXHAUSTIVE"] = "1"
+    ids_ex, _ = inv.search(queries, top_k=k)
+    os.environ.pop("COSDATA_SPARSE_EXHAUSTIVE", None)
+    inv.SCAN_BUDGET = saved
+    rec = np.mean([
+        len(set(map(int, ids[j])) & set(map(int, ids_ex[j]))) / k
+        for j in range(len(queries))
+    ])
+    print(f"sparse recall_vs_exact: {rec:.3f}", flush=True)
 
 if which in ("bm25", "both"):
     from cosdata_tpu.indexes.tf_idf import TFIDFIndex
@@ -92,3 +104,15 @@ if which in ("bm25", "both"):
     prof(lambda: tfi.search(bq, top_k=k), "bm25 b64")
     bqbig = bq * 4
     prof(lambda: tfi.search(bqbig, top_k=k), "bm25 b256")
+    ids, _ = tfi.search(bq, top_k=k)
+    saved = (tfi.SCAN_BUDGET, tfi.MAX_TERM_POSTINGS)
+    tfi.SCAN_BUDGET, tfi.MAX_TERM_POSTINGS = 1 << 30, 1 << 30
+    os.environ["COSDATA_SPARSE_EXHAUSTIVE"] = "1"
+    ids_ex, _ = tfi.search(bq, top_k=k)
+    os.environ.pop("COSDATA_SPARSE_EXHAUSTIVE", None)
+    tfi.SCAN_BUDGET, tfi.MAX_TERM_POSTINGS = saved
+    rec = np.mean([
+        len(set(map(int, ids[j])) & set(map(int, ids_ex[j]))) / k
+        for j in range(len(bq))
+    ])
+    print(f"bm25 recall_vs_exact: {rec:.3f}", flush=True)

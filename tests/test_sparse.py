@@ -515,3 +515,64 @@ class TestDenseHeadEngine:
                 continue
             d_pos = np.searchsorted(idx._dim_start, s, side="right") - 1
             assert int(idx._dim_uniq[d_pos]) not in head_dims
+
+
+class TestBM25DenseHead:
+    """BM25 dense-head engine (indexes/tf_idf.py _select_head/_ensure_head):
+    high-df terms are scanned in full by one MXU matmul (exact quantized
+    Σ idf·tf accumulation); the budgeted tail nominates; the union is
+    rescored exactly from doc rows. Without it, per-posting contribution
+    nomination measured 0.622 recall-vs-exact on the 100k zipf corpus —
+    BM25 mass accumulates across common terms."""
+
+    def _mk(self, monkeypatch, n=2000, vocab=400, doc_len=20, seed=3):
+        from cosdata_tpu.indexes.tf_idf import TFIDFIndex
+
+        monkeypatch.setattr(TFIDFIndex, "HEAD_MIN_CAP", 512)
+        monkeypatch.setattr(TFIDFIndex, "HEAD_MIN_DF", 4)
+        rng = np.random.default_rng(seed)
+        words = [f"w{i}" for i in range(vocab)]
+        zipf = (rng.pareto(1.1, size=n * doc_len).astype(np.int64)) % vocab
+        tfi = TFIDFIndex(sample_threshold=64)
+        for i in range(n):
+            tfi.add(i, " ".join(words[w] for w in zipf[i * doc_len : (i + 1) * doc_len]))
+        tfi.flush()
+        bq = [
+            " ".join(words[w]
+                     for w in np.sort(zipf[j * doc_len : (j + 1) * doc_len])[-4:])
+            for j in range(16)
+        ]
+        return tfi, bq
+
+    def test_head_engages_and_matches_exhaustive(self, monkeypatch):
+        import os as _os
+
+        tfi, bq = self._mk(monkeypatch)
+        ids, sc = tfi.search(bq, top_k=10)
+        assert tfi._head_codes_dev is not None, "head must engage at this scale"
+        # unbudgeted exhaustive oracle through the rescore-every-slot kernel
+        saved = (tfi.SCAN_BUDGET, tfi.MAX_TERM_POSTINGS)
+        tfi.SCAN_BUDGET = tfi.MAX_TERM_POSTINGS = 1 << 30
+        monkeypatch.setenv("COSDATA_SPARSE_EXHAUSTIVE", "1")
+        ids_ex, sc_ex = tfi.search(bq, top_k=10)
+        monkeypatch.delenv("COSDATA_SPARSE_EXHAUSTIVE")
+        tfi.SCAN_BUDGET, tfi.MAX_TERM_POSTINGS = saved
+        rec = np.mean([
+            len(set(map(int, ids[j])) & set(map(int, ids_ex[j]))) / 10
+            for j in range(len(bq))
+        ])
+        assert rec >= 0.9, rec
+        # scores exact wherever ids agree (both paths end in exact rescore)
+        for j in range(len(bq)):
+            m = {int(i): float(s) for i, s in zip(ids_ex[j], sc_ex[j])}
+            for i, s in zip(ids[j], sc[j]):
+                if int(i) in m:
+                    np.testing.assert_allclose(float(s), m[int(i)], rtol=1e-4)
+
+    def test_head_respects_deletes(self, monkeypatch):
+        tfi, bq = self._mk(monkeypatch)
+        ids, _ = tfi.search(bq[:1], top_k=5)
+        target = int(ids[0, 0])
+        tfi.delete(target)
+        ids2, _ = tfi.search(bq[:1], top_k=5)
+        assert target not in set(map(int, ids2[0]))
