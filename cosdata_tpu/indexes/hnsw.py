@@ -657,7 +657,15 @@ class HNSWIndex:
     #: bounded by query-side blocking in _leaf_knn_body
     RP_LEAF = 8192
     RP_TREES = 2
-    NN_DESCENT_ROUNDS = 1
+    #: 0 (r4, measured on-chip at 1M x 768 clustered): NN-descent hurt BOTH
+    #: axes — build 113 s -> 56.7 s AND recall@10 ef=64 0.965 -> 0.976,
+    #: ef=128 0.990 -> 0.998, ef=256 0.999 -> 1.000. Its top-k-by-distance
+    #: merge overwrites diversity-pruned forward edges with closest-only
+    #: edges (see BENCH.md); the 2-tree union + reverse edges already
+    #: bridge leaves. NOTE: descent (or a second tree) is what connects
+    #: single-tree leaf islands — RP_TREES=1 with ROUNDS=0 collapses to
+    #: 0.40 recall (measured); keep trees >= 2 when rounds == 0.
+    NN_DESCENT_ROUNDS = 0
     #: per-leaf approx_max_k recall target. Selection is the leaf-kNN
     #: bottleneck (einsum 6 ms vs selection 15-29 ms per 8k leaf); 0.85
     #: measured recall-neutral after tree-union + NN-descent + reverse
