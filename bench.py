@@ -523,11 +523,15 @@ def main():
         saved = inv.SCAN_BUDGET
         inv.SCAN_BUDGET = 1 << 30
         # the oracle must rescore EVERY budgeted slot, not nominate
-        # (the served engine nominates by contribution + rescores exactly)
+        # (the served engine nominates by contribution + rescores exactly);
+        # try/finally: a failed oracle search must not leak the env var
+        # into every subsequent search in this process (ADVICE r4)
         os.environ["COSDATA_SPARSE_EXHAUSTIVE"] = "1"
-        ids_ex, _ = inv.search(queries, top_k=k)
-        os.environ.pop("COSDATA_SPARSE_EXHAUSTIVE", None)
-        inv.SCAN_BUDGET = saved
+        try:
+            ids_ex, _ = inv.search(queries, top_k=k)
+        finally:
+            os.environ.pop("COSDATA_SPARSE_EXHAUSTIVE", None)
+            inv.SCAN_BUDGET = saved
         sp_vs_exact = np.mean([
             len(set(map(int, ids[j])) & set(map(int, ids_ex[j]))) / k
             for j in range(len(queries))
@@ -607,9 +611,11 @@ def main():
         saved = (tfi.SCAN_BUDGET, tfi.MAX_TERM_POSTINGS)
         tfi.SCAN_BUDGET, tfi.MAX_TERM_POSTINGS = 1 << 30, 1 << 30
         os.environ["COSDATA_SPARSE_EXHAUSTIVE"] = "1"
-        ids_ex, _ = tfi.search(bq, top_k=k)
-        os.environ.pop("COSDATA_SPARSE_EXHAUSTIVE", None)
-        tfi.SCAN_BUDGET, tfi.MAX_TERM_POSTINGS = saved
+        try:
+            ids_ex, _ = tfi.search(bq, top_k=k)
+        finally:
+            os.environ.pop("COSDATA_SPARSE_EXHAUSTIVE", None)
+            tfi.SCAN_BUDGET, tfi.MAX_TERM_POSTINGS = saved
         bm_vs_exact = np.mean([
             len(set(map(int, ids[j])) & set(map(int, ids_ex[j]))) / k
             for j in range(len(bq))

@@ -484,11 +484,11 @@ class Server:
     async def search_batch_hybrid(self, request):
         body = await request.json()
         coll = await self._coll(request)
-        # all hybrid queries run concurrently (the reference regroups legs
-        # and joins them, search/repo.rs:343-555; device dispatches overlap)
-        tasks = []
-        for q in body["queries"]:
-            query = {
+        # ONE batched call: legs are regrouped across queries inside
+        # Collection.hybrid_search_batch (the reference regroups legs and
+        # joins them, search/repo.rs:343-555) — not a per-query fan-out
+        queries = [
+            {
                 k: q[k]
                 for k in (
                     "query_vector",
@@ -498,17 +498,17 @@ class Server:
                 )
                 if k in q
             }
-            tasks.append(
-                _run(
-                    request,
-                    coll.hybrid_search,
-                    query,
-                    int(body.get("top_k") or 10),
-                    float(body.get("fusion_constant_k") or 60.0),
-                    bool(body.get("return_raw_text", False)),
-                )
-            )
-        out = [{"results": r} for r in await asyncio.gather(*tasks)]
+            for q in body["queries"]
+        ]
+        results = await _run(
+            request,
+            coll.hybrid_search_batch,
+            queries,
+            int(body.get("top_k") or 10),
+            float(body.get("fusion_constant_k") or 60.0),
+            bool(body.get("return_raw_text", False)),
+        )
+        out = [{"results": r} for r in results]
         return web.json_response(
             {"responses": out, "warning": self._warning(coll)}
         )

@@ -816,6 +816,11 @@ class HNSWIndex:
         # candidate quality is what bounds recall; L1 of a 1M build spent
         # 10.4 s of which ~half was the second tree)
         trees = self.RP_TREES if (n_mem > self.RP_LEAF and level == 0) else 1
+        if level == 0 and self.NN_DESCENT_ROUNDS == 0 and trees < 2:
+            # rounds=0 is recall-safe ONLY with the 2-tree union bridging
+            # leaf islands (single tree + rounds=0 measured 0.40 recall);
+            # a user tuning RP_TREES=1 must not silently collapse recall
+            trees = 2
         mp = self._bucket(n_mem, 1024)
         parts_i: list = []
         parts_s: list = []

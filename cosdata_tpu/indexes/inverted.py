@@ -44,6 +44,11 @@ _PAD_MIN = 256
 #: query-batch chunk for the segment-sum route (bounds the (B, PAD) sort)
 SEG_QUERY_CHUNK = 256
 
+#: below this capacity the nominate engine has no dense head to back it up
+#: (HEAD_MIN_CAP) and measured recall_vs_exact drops to ~0.91; the
+#: exhaustive rescore kernel is cheap here, so small corpora route to it
+EXHAUSTIVE_MAX_CAP = 32768
+
 
 def _next_pow2(x: int) -> int:
     return 1 << max(int(math.ceil(math.log2(max(x, 1)))), 0)
@@ -188,11 +193,18 @@ def rescore_dispatch(
         mults is None
         or csr_vals is None
         or os.environ.get("COSDATA_SPARSE_EXHAUSTIVE", "") == "1"
+        # below the dense-head gate nothing restores accumulation recall
+        # (contribution nomination alone measured 0.91-0.92 recall_vs_exact
+        # at 8k-15k docs) while the exhaustive kernel is cheap at this
+        # scale — its measured 2-24 s/batch cost only appears at 100k+ docs
+        or n_cap < EXHAUSTIVE_MAX_CAP
     )
     # nomination width: every duplicate nomination (one doc hit by several
-    # query dims) burns a slot, so keep nom >> fetch
+    # query dims) burns a slot, so scale nom with fetch (4x, not 2x: a doc
+    # nominated by many query dims can burn that many slots) with a 512
+    # floor; the final host dedup collapses the duplicates
     nom = int(os.environ.get("COSDATA_SPARSE_NOM", "0")) or min(
-        max(2 * fetch, 512), n_cap
+        max(4 * fetch, 512), n_cap
     )
     chunk_q = SEG_QUERY_CHUNK
     # bound BOTH workspaces: the (chunk_q, maxd*segcap) candidate-id

@@ -1,11 +1,11 @@
-"""Tests for bench.py's vectorized helpers.
+"""Tests for the vectorized RRF fusion (core/fusion.py).
 
-The bench's hybrid throughput claim depends on `rrf_fuse` (vectorized
-reciprocal-rank fusion, VERDICT r3 weak #6: the old per-query Python dict
-loop). Its segment-sum trick (sort-by-id + run boundaries) is subtle
-enough to deserve a differential test against the obvious dict-based
-fusion (the serving path's own loop, core/collection.py:1099-1110,
-matching search/repo.rs:343-555's k_rrf=60 formula).
+The hybrid serving path and the bench both depend on `rrf_fuse`
+(vectorized reciprocal-rank fusion, promoted from bench.py into
+core/fusion.py per VERDICT r4 missing #3). Its segment-sum trick
+(sort-by-id + run boundaries) is subtle enough to deserve a differential
+test against the obvious dict-based fusion (matching
+search/repo.rs:343-555's k_rrf=60 formula).
 """
 
 import sys
@@ -16,7 +16,11 @@ import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from bench import rrf_fuse  # noqa: E402
+from cosdata_tpu.core.fusion import rrf_fuse as _rrf_full  # noqa: E402
+
+
+def rrf_fuse(id_lists, k, fetch):
+    return _rrf_full(id_lists, k, fetch)[0]
 
 
 def rrf_naive(id_lists, k, fetch):
@@ -112,6 +116,22 @@ class TestRRFFuse:
         ]
         got = rrf_fuse(legs, k, fetch)
         _assert_fused_matches(got, legs, k, fetch)
+
+    def test_scores_match_dict_oracle(self):
+        rng = np.random.default_rng(17)
+        b, fetch, k = 16, 24, 8
+        legs = [
+            rng.integers(0, 60, size=(b, fetch)).astype(np.int64)
+            for _ in range(2)
+        ]
+        ids, sc = _rrf_full(legs, k, fetch)
+        maps = _rrf_scores(legs, fetch)
+        for row in range(b):
+            for i, s in zip(ids[row], sc[row]):
+                if i >= 0:
+                    np.testing.assert_allclose(
+                        s, maps[row][int(i)], rtol=1e-6
+                    )
 
     def test_duplicate_within_leg(self):
         # engines can emit the same id twice across rerank tiers; fusion
