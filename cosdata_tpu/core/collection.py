@@ -269,6 +269,11 @@ class DenseIndexHandle:
     def flush(self):
         self.finalize_sampling()
         self.maybe_compact()
+        if self.index is not None:
+            # spilled codes re-admit to HBM when the budget fits again
+            # (compaction above may have shrunk the store); sharded
+            # engines have no spill tier (per-shard stores stay resident)
+            getattr(self.index, "maybe_promote", lambda: False)()
 
     #: tombstone fraction that triggers a rebuild at flush time
     COMPACT_THRESHOLD = 0.25

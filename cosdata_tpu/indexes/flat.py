@@ -56,6 +56,14 @@ class FlatIndex:
     def delete(self, internal_id: int) -> None:
         self.alive = self.alive.at[int(internal_id)].set(False)
 
+    def maybe_promote(self) -> bool:
+        """Pull spilled codes back into HBM when the budget fits (see
+        VectorStore.maybe_promote_codes); restores the fused codes engine."""
+        if self.store.maybe_promote_codes():
+            self._host_mask_cache = None
+            return True
+        return False
+
     def _mask(self) -> jax.Array:
         """valid & alive, cached — per-search device-op round trips dominate
         latency on a remote link (alive is replaced, not mutated, on delete,

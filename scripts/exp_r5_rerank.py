@@ -130,12 +130,12 @@ for bsz in (1024, 4096):
     )
     jax.block_until_ready((q, ids_r, ids_c))
     print(f"--- b{bsz} (kf={kf}) ---", flush=True)
-    timed(f"b{bsz} gather random", lambda: gather_only(ids_r))
-    timed(f"b{bsz} gather contiguous", lambda: gather_only(ids_c))
     timed(f"b{bsz} rerank current", lambda: rerank_current(q, ids_r))
     timed(f"b{bsz} rerank f16-kept", lambda: rerank_f16(q, ids_r))
-    timed(f"b{bsz} rerank chunked(kc=10)", lambda: rerank_chunked(q, ids_r))
     timed(f"b{bsz} rerank sorted-gather", lambda: rerank_sorted(q, ids_r))
+    timed(f"b{bsz} rerank chunked(kc=10)", lambda: rerank_chunked(q, ids_r))
+    timed(f"b{bsz} gather random", lambda: gather_only(ids_r))
+    timed(f"b{bsz} gather contiguous", lambda: gather_only(ids_c))
     # agreement check (ordering-critical: top-1 of each row)
     a = np.asarray(rerank_current(q, ids_r))
     c = np.asarray(rerank_f16(q, ids_r))
