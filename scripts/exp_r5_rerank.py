@@ -53,12 +53,12 @@ def timed(label, fn, reps=reps):
 
 
 @jax.jit
-def gather_only(ids):
+def gather_only(raw, ids):
     return raw[ids].astype(jnp.float32).sum()
 
 
 @jax.jit
-def rerank_current(q, ids):
+def rerank_current(raw, q, ids):
     cand = raw[ids].astype(jnp.float32)  # (B, K, D)
     dot = _diag_dot(q, cand, int8=False)
     qm = jnp.linalg.norm(q, axis=-1)
@@ -67,7 +67,7 @@ def rerank_current(q, ids):
 
 
 @jax.jit
-def rerank_f16(q, ids):
+def rerank_f16(raw, q, ids):
     cand = raw[ids]  # stay f16
     qh = q.astype(jnp.float16)
     b, k = ids.shape
@@ -91,7 +91,7 @@ def rerank_f16(q, ids):
 
 
 @functools.partial(jax.jit, static_argnames=("kc",))
-def rerank_chunked(q, ids, kc: int = 10):
+def rerank_chunked(raw, q, ids, kc: int = 10):
     b, k = ids.shape
     qm = jnp.linalg.norm(q, axis=-1)
 
@@ -109,7 +109,7 @@ def rerank_chunked(q, ids, kc: int = 10):
 
 
 @jax.jit
-def rerank_sorted(q, ids):
+def rerank_sorted(raw, q, ids):
     b, k = ids.shape
     flat = ids.reshape(-1)
     order = jnp.argsort(flat)
@@ -130,15 +130,15 @@ for bsz in (1024, 4096):
     )
     jax.block_until_ready((q, ids_r, ids_c))
     print(f"--- b{bsz} (kf={kf}) ---", flush=True)
-    timed(f"b{bsz} rerank current", lambda: rerank_current(q, ids_r))
-    timed(f"b{bsz} rerank f16-kept", lambda: rerank_f16(q, ids_r))
-    timed(f"b{bsz} rerank sorted-gather", lambda: rerank_sorted(q, ids_r))
-    timed(f"b{bsz} rerank chunked(kc=10)", lambda: rerank_chunked(q, ids_r))
-    timed(f"b{bsz} gather random", lambda: gather_only(ids_r))
-    timed(f"b{bsz} gather contiguous", lambda: gather_only(ids_c))
+    timed(f"b{bsz} rerank current", lambda: rerank_current(raw, q, ids_r))
+    timed(f"b{bsz} rerank f16-kept", lambda: rerank_f16(raw, q, ids_r))
+    timed(f"b{bsz} rerank sorted-gather", lambda: rerank_sorted(raw, q, ids_r))
+    timed(f"b{bsz} rerank chunked(kc=10)", lambda: rerank_chunked(raw, q, ids_r))
+    timed(f"b{bsz} gather random", lambda: gather_only(raw, ids_r))
+    timed(f"b{bsz} gather contiguous", lambda: gather_only(raw, ids_c))
     # agreement check (ordering-critical: top-1 of each row)
-    a = np.asarray(rerank_current(q, ids_r))
-    c = np.asarray(rerank_f16(q, ids_r))
+    a = np.asarray(rerank_current(raw, q, ids_r))
+    c = np.asarray(rerank_f16(raw, q, ids_r))
     print(
         f"b{bsz} f16 max-abs-diff: {np.abs(a - c).max():.5f} "
         f"top1 agree: {(a.argmax(1) == c.argmax(1)).mean():.4f}",
