@@ -173,23 +173,41 @@ class FlatIndex:
             from cosdata_tpu.ops.storage import use_codes_engine
 
             if use_codes_engine(self.store):
-                from cosdata_tpu.ops.flat_scan import fused_flat_search_codes
-
-                qc = self.store.ship_query_codes(queries)
-                raw = self.store._raw if do_rerank else qc.data
-                # exact queries for the rerank stage (f16 wire): the scan
-                # runs on codes, but reranking with a re-dequantized u8
-                # query caps recall on tie-dense corpora (flat_scan.py)
-                q_re = (
-                    self.store._pad_dims(queries, ship_f16=True)
-                    if do_rerank else qc.mags
+                from cosdata_tpu.ops.flat_scan import (
+                    exact_rerank_sorted,
+                    fused_flat_search_codes,
+                    fused_flat_search_codes_f16q,
                 )
+
                 group = 32
                 k_bins = max(64, -(-k_fetch // group) * 2)
-                return fused_flat_search_codes(
+                if not do_rerank:
+                    # no rerank tier: u8 codes are the leanest wire
+                    qc = self.store.ship_query_codes(queries)
+                    ids, vals = fused_flat_search_codes(
+                        self.store.metric, self.store.dim,
+                        self.store.dim_pad, k_bins, group, k_fetch,
+                        k_fetch, self.SCAN_CHUNK,
+                        False, qc, self.store._arrays, qc.data, qc.mags,
+                        mask,
+                    )
+                    return ids[:, :top_k], vals[:, :top_k]
+                # ONE f16 query upload serves both stages (the old
+                # codes+f16 double upload paid the wire twice on a link
+                # where transfers never overlap compute), then the exact
+                # rerank runs as its OWN program — fused into the scan it
+                # scheduled pathologically at wide batches (353 ms at
+                # b4096 vs ~35 ms standalone, scripts/exp_r5_rerank.py)
+                q_f16 = self.store._pad_dims(queries, ship_f16=True)
+                lo, hi = self.store.range
+                ids, vals = fused_flat_search_codes_f16q(
                     self.store.metric, self.store.dim, self.store.dim_pad,
-                    k_bins, group, k_fetch, top_k, self.SCAN_CHUNK,
-                    do_rerank, qc, self.store._arrays, raw, q_re, mask,
+                    k_bins, group, k_fetch, k_fetch, self.SCAN_CHUNK,
+                    q_f16, lo, hi, self.store._arrays, mask,
+                )
+                return exact_rerank_sorted(
+                    self.store.metric, self.store.dim, self.store.dim_pad,
+                    top_k, q_f16, self.store._raw, ids, vals,
                 )
             q_raw = self.store.ship_queries(queries)
             raw = self.store._raw if do_rerank else q_raw

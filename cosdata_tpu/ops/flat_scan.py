@@ -356,6 +356,86 @@ def fused_flat_search_codes(
     return ids, vals
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "metric", "d_true", "d_pad", "k_bins", "group", "k_fetch", "k",
+        "chunk",
+    ),
+)
+def fused_flat_search_codes_f16q(
+    metric: str,
+    d_true: int,
+    d_pad: int,
+    k_bins: int,
+    group: int,
+    k_fetch: int,
+    k: int,
+    chunk: int,
+    q_f16,  # (B, d_pad) f16 exact queries — the ONLY query upload
+    lo,
+    hi,
+    store,
+    valid,
+):
+    """Codes-engine stage 1 fed by ONE f16 query upload.
+
+    The two-upload shape (u8 codes for the scan + f16 exact rows for the
+    rerank) paid the wire twice on a link where transfers never overlap
+    compute (measured: pipelined == blocking; BENCH.md tunnel notes). One
+    f16 tensor serves both stages: the scan quantizes it to u8 codes
+    in-program (scan-side quantization is semantics-preserving — only the
+    RERANK must see exact queries, flat_scan.fused_flat_search_codes doc)
+    and the rerank consumes it directly. Wire: 2 B/dim total vs 3 B/dim.
+    """
+    from cosdata_tpu.ops.storage import _quantize_batch
+
+    q = _quantize_batch(
+        q_f16.astype(jnp.float32), lo, hi, "u8", 2, d_true
+    )
+    return fused_flat_search_codes(
+        metric, d_true, d_pad, k_bins, group, k_fetch, k, chunk,
+        False, q, store, q.data, q.mags, valid,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("metric", "d_true", "d_pad", "k")
+)
+def exact_rerank_sorted(metric, d_true, d_pad, k, q_re, raw, ids, vals):
+    """Exact f32 rerank of a (B, kf) shortlist as its OWN program.
+
+    Measured on-chip (scripts/exp_r5_rerank.py, 1M x 768 f16 raw, kf=50):
+    the same ops INSIDE the fused scan program cost 52 ms (b1024) /
+    353 ms (b4096) — the monolithic program's rerank tail scheduled
+    pathologically at wide batches (the whole r4 b4096 < b1024
+    inversion) — while dispatched standalone they run 14.2 / 34.8 ms.
+    Sorting candidate ids before the row gather (and inverting after)
+    adds locality worth another ~3.7x at b1024 (53.5 -> 14.2 ms) with
+    bit-identical f32 math.
+    """
+    from cosdata_tpu.ops.storage import _cos_or_dot, _diag_dot
+
+    b, kf = ids.shape
+    lanes = jnp.arange(d_pad) < d_true
+    q_deq = jnp.where(lanes[None, :], q_re.astype(jnp.float32), 0.0)
+    flat = jnp.maximum(ids, 0).reshape(-1)
+    order = jnp.argsort(flat)
+    cand_s = raw[flat[order]].astype(jnp.float32)
+    inv = jnp.argsort(order)
+    cand = cand_s[inv].reshape(b, kf, d_pad)
+    dot = _diag_dot(q_deq, cand, int8=False)
+    qm = jnp.linalg.norm(q_deq, axis=-1)
+    cm = jnp.linalg.norm(cand, axis=-1)
+    m = "euclidean" if metric == "hamming" else metric
+    re = _cos_or_dot(m, dot, qm, cm)
+    re = jnp.where(vals > NEG_INF / 2, re, NEG_INF)
+    vals_k, pos = jax.lax.top_k(re, min(k, kf))
+    ids_k = jnp.take_along_axis(ids, pos, axis=1)
+    ids_k = jnp.where(vals_k > NEG_INF / 2, ids_k, -1)
+    return ids_k, vals_k
+
+
 @functools.partial(jax.jit, static_argnames=("metric", "kind", "d", "k"))
 def _streamed_chunk_merge(
     metric: str, kind: str, d: int, k: int, q, chunk_store, valid, base,

