@@ -410,6 +410,50 @@ def main():
             flat_build_s=round(flat_build_s, 1),
             flat_build_vps=round(n / flat_build_s, 1),
         )
+        # ---- device-only operating point + wire floor (VERDICT r5 #1):
+        # transfers NEVER overlap compute on the tunneled link (measured:
+        # pipelined == blocking), so end-to-end QPS is wire-bound at
+        # ~2 B/dim/query. With query tensors pre-resident this measures
+        # what a locally-attached v5e (h2d >= 10 GB/s: the wire term
+        # vanishes) serves through the SAME two programs.
+        try:
+            from cosdata_tpu.ops.flat_scan import (
+                exact_rerank_sorted,
+                fused_flat_search_codes_f16q,
+            )
+            from cosdata_tpu.ops.storage import wire_bandwidth_mbps
+
+            st = flat.store
+            lo_, hi_ = st.range
+            group, kf = 32, 5 * k
+            k_bins = max(64, -(-kf // group) * 2)
+            mask = flat._mask()
+
+            def dev_call(qd):
+                ids, vals = fused_flat_search_codes_f16q(
+                    st.metric, st.dim, st.dim_pad, k_bins, group, kf, kf,
+                    flat.SCAN_CHUNK, qd, lo_, hi_, st._arrays, mask,
+                )
+                return exact_rerank_sorted(
+                    st.metric, st.dim, st.dim_pad, k, qd, st._raw, ids,
+                    vals,
+                )
+
+            dev = {}
+            for label, mult in (("b1024", 1), ("b4096", 4)):
+                qn_ = np.concatenate([q] * mult)
+                qd = st._pad_dims(qn_, ship_f16=True)
+                _jax.block_until_ready(qd)
+                _jax.device_get(dev_call(qd))  # compile/warm
+                t0 = time.time()
+                outs = [dev_call(qd) for _ in range(5)]
+                _jax.device_get(outs)
+                dev[label] = round(5 * len(qn_) / (time.time() - t0), 1)
+            out["flat_device_qps"] = max(dev.values())
+            out["flat_device_qps_by_batch"] = dev
+            out["wire_mbps"] = round(float(wire_bandwidth_mbps()), 1)
+        except Exception:
+            out["flat_device_error"] = traceback.format_exc(limit=2)
         del flat
     except Exception:
         out["flat_error"] = traceback.format_exc(limit=2)
@@ -446,12 +490,21 @@ def main():
             hgot, _ = idx.search(q, top_k=k, ef=ef)  # compile + run
             rec = recall_of(sub_true, hgot, k)
             # end-to-end timing through the same path recall was measured
-            # on (device beam + host-raw exact rerank)
-            t0 = time.time()
-            for _ in range(3):
+            # on (device beam + host-raw exact rerank). MEDIAN of per-rep
+            # qps + spread: single-run throughput on the shared tunneled
+            # chip swings with contention (VERDICT r5 #3 repeats ask)
+            laps = []
+            for _ in range(5):
+                t0 = time.time()
                 idx.search(q, top_k=k, ef=ef)
-            qps = 3 * nq / (time.time() - t0)
-            out[f"hnsw_ef{ef}"] = {"recall10": round(rec, 4), "qps": round(qps, 1)}
+                laps.append(nq / (time.time() - t0))
+            qps = float(np.median(laps))
+            out[f"hnsw_ef{ef}"] = {
+                "recall10": round(rec, 4),
+                "qps": round(qps, 1),
+                "qps_min": round(min(laps), 1),
+                "qps_max": round(max(laps), 1),
+            }
             if best is None and rec >= 0.95:
                 best = (ef, rec, qps)
         if best:
