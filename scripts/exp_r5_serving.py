@@ -28,16 +28,21 @@ sn = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
 bn = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
 hn = int(sys.argv[3]) if len(sys.argv) > 3 else 100_000
 k = 10
+SECTIONS = set(
+    (os.environ.get("COSDATA_EXP_SECTIONS") or "sparse,bm25,hybrid").split(",")
+)
 
 # ---------------- sparse ----------------
 from cosdata_tpu.indexes.inverted import InvertedIndex
 
+if "sparse" not in SECTIONS:
+    sn = 0
 vocab, nnz_doc, nnz_q = 30_000, 64, 24
 rng = np.random.default_rng(7)
-dims_pool = (rng.pareto(1.2, size=sn * nnz_doc) * 50).astype(np.int64) % vocab
-vals_pool = rng.gamma(2.0, 0.8, size=sn * nnz_doc).astype(np.float32)
+dims_pool = (rng.pareto(1.2, size=max(sn, 1) * nnz_doc) * 50).astype(np.int64) % vocab
+vals_pool = rng.gamma(2.0, 0.8, size=max(sn, 1) * nnz_doc).astype(np.float32)
 inv = InvertedIndex(quantization=64, sample_threshold=256)
-for i in range(256):
+for i in range(min(256, sn)):
     lo = i * nnz_doc
     inv.add(i, dims_pool[lo : lo + nnz_doc], vals_pool[lo : lo + nnz_doc])
 t0 = time.time()
@@ -52,13 +57,13 @@ for s0 in range(256, sn, 65536):
 inv.flush()
 print(f"sparse ingest: {time.time()-t0:.1f}s ({sn} docs)", flush=True)
 queries = []
-for j in range(64):
+for j in range(64 if sn else 0):
     dd = dims_pool[j * nnz_doc : (j + 1) * nnz_doc]
     vv = vals_pool[j * nnz_doc : (j + 1) * nnz_doc]
     pick = np.argsort(dd)[-nnz_q:]
     queries.append(list(zip(dd[pick].tolist(), vv[pick].tolist())))
 
-for b, reps in ((1, 8), (8, 5), (64, 3), (256, 3)):
+for b, reps in (((1, 8), (8, 5), (64, 3), (256, 3)) if sn else ()):
     qs = (queries * ((b + 63) // 64))[:b]
     inv.search(qs, top_k=k)  # compile
     lats = []
@@ -76,6 +81,8 @@ del inv
 # ---------------- BM25 ----------------
 from cosdata_tpu.indexes.tf_idf import TFIDFIndex
 
+if "bm25" not in SECTIONS:
+    bn = 0
 rng = np.random.default_rng(9)
 vocab_words = [f"w{i}" for i in range(20_000)]
 zipf = (rng.pareto(1.1, size=bn * 40).astype(np.int64)) % 20_000
@@ -86,11 +93,11 @@ for i in range(bn):
     tfi.add(i, " ".join(vocab_words[w] for w in words))
 tfi.flush()
 print(f"bm25 ingest: {time.time()-t0:.1f}s ({bn} docs)", flush=True)
-bq = [
+bq = [] if not bn else [
     " ".join(vocab_words[w] for w in np.sort(zipf[j * 40 : (j + 1) * 40])[-6:])
     for j in range(64)
 ]
-for b, reps in ((1, 8), (64, 3), (256, 3)):
+for b, reps in (((1, 8), (64, 3), (256, 3)) if bn else ()):
     qs = (bq * ((b + 63) // 64))[:b]
     tfi.search(qs, top_k=k)
     lats = []
@@ -103,6 +110,8 @@ for b, reps in ((1, 8), (64, 3), (256, 3)):
 del tfi
 
 # ---------------- hybrid through the collection ----------------
+if "hybrid" not in SECTIONS:
+    sys.exit(0)
 import bench as _bench
 
 bench_cache = f"/tmp/cosdata_bench_1000000x768_1024_0.npz"
