@@ -168,7 +168,7 @@ def impact_segments_batch(
 def rescore_dispatch(
     starts, lens, csr_ids, doc_dims_dev, doc_vals_dev, q_idx, q_w,
     alive_dev, vocab_pad: int, top_k: int, segcap: int, dup_slack: int,
-    n_cap: int, mults=None, csr_vals=None,
+    n_cap: int, mults=None, csr_vals=None, aligned: bool = False,
 ):
     """Query-chunked dispatch of the candidate nominate+rescore kernel +
     host duplicate-collapse (shared by the sparse and BM25 indexes).
@@ -239,6 +239,7 @@ def rescore_dispatch(
                 csr_ids, doc_dims_dev, doc_vals_dev,
                 jnp.asarray(q_idx[s:e]), jnp.asarray(q_w[s:e]),
                 alive_dev, vocab_pad, fetch, segcap, cand_chunk,
+                aligned=aligned,
             ))
         else:
             outs.append(nominate_rescore_topk(
@@ -247,6 +248,7 @@ def rescore_dispatch(
                 doc_dims_dev, doc_vals_dev,
                 jnp.asarray(q_idx[s:e]), jnp.asarray(q_w[s:e]),
                 alive_dev, vocab_pad, fetch, nom, segcap, 1 << 16,
+                aligned=aligned,
             ))
     scores = np.concatenate([np.asarray(o[0]) for o in outs])[:b]
     ids = np.concatenate([np.asarray(o[1], np.int64) for o in outs])[:b]
@@ -779,10 +781,33 @@ class InvertedIndex:
                 if len(self._h_ids) == 0:
                     self._csr_ids = None
                 else:
-                    self._csr_ids = jnp.asarray(self._h_ids)
-                    self._csr_vals = jnp.asarray(
-                        self._h_buckets.astype(np.float32)
+                    # 128-ALIGNED device layout: every dim's list starts
+                    # at a GATHER_LANE multiple (pad id -1 / val 0), so
+                    # the kernels fetch postings at row grain — a
+                    # scalar-grain gather of the same slots measured
+                    # 232.6 ms vs 14.1 ms as 128-wide rows
+                    # (scripts/exp_r5_gather.py); <=12% upload overhead
+                    from cosdata_tpu.ops.sparse_kernels import GATHER_LANE
+
+                    lane = GATHER_LANE
+                    counts = self._dim_len
+                    padc = -(-counts // lane) * lane
+                    starts_pad = np.concatenate(
+                        [[0], np.cumsum(padc)]
+                    )[:-1].astype(np.int64)
+                    total = int(padc.sum())
+                    ids_pad = np.full(total, -1, np.int32)
+                    vals_pad = np.zeros(total, np.float32)
+                    within = np.arange(len(self._h_ids)) - np.repeat(
+                        self._dim_start, counts
                     )
+                    dst = np.repeat(starts_pad, counts) + within
+                    ids_pad[dst] = self._h_ids
+                    vals_pad[dst] = self._h_buckets.astype(np.float32)
+                    self._dim_start_dev = starts_pad
+                    self._csr_ids = jnp.asarray(ids_pad)
+                    self._csr_vals = jnp.asarray(vals_pad)
+                    self._csr_aligned = True
                 self._csr_dirty = False
 
     #: per-query total posting-scan budget, distributed over the query's
@@ -942,8 +967,12 @@ class InvertedIndex:
         caps = np.minimum(eff, maxper)
         order = np.lexsort((-qqv, qi))  # best query value first per query
         qi, didx, qqv, caps = qi[order], didx[order], qqv[order], caps[order]
+        # emitted segment offsets address the ALIGNED device CSR
+        dev_start = getattr(self, "_dim_start_dev", None)
+        if dev_start is None:
+            dev_start = self._dim_start
         return impact_segments_batch(
-            b, qi, self._dim_start[didx], qqv.astype(np.float32), caps,
+            b, qi, dev_start[didx], qqv.astype(np.float32), caps,
             self._dim_cnt, didx, np.ones(len(qi), np.float32),
             self.maxval, budget, self.SEGCAP, conservative=True,
             pad_min=_PAD_MIN // 16,
@@ -993,6 +1022,7 @@ class InvertedIndex:
         out_ids, scores = _score_csr(
             starts, lens, mults, self._csr_ids, self._csr_vals,
             self._alive_dev, self.n_cap, k_fetch, self.SEGCAP,
+            aligned=getattr(self, "_csr_aligned", False),
         )
         out_ids, scores = out_ids[:, :top_k], scores[:, :top_k]
         return out_ids, scores
@@ -1026,6 +1056,7 @@ class InvertedIndex:
             self._doc_vals_dev, q_idx, q_w, self._alive_dev, vocab_pad,
             top_k, self.SEGCAP, self.DUP_SLACK, self.n_cap,
             mults=mults, csr_vals=self._csr_vals,
+            aligned=getattr(self, "_csr_aligned", False),
         )
 
     #: nomination width multiplier: each source (head matmul, tail gather)
@@ -1099,6 +1130,7 @@ class InvertedIndex:
             self._doc_vals_dev, q_idx, q_w, self._alive_dev, vocab_pad,
             nom, self.SEGCAP, self.DUP_SLACK, self.n_cap,
             mults=mults, csr_vals=self._csr_vals,
+            aligned=getattr(self, "_csr_aligned", False),
         )
         cand = np.concatenate(
             [np.asarray(h_ids, np.int64), t_ids], axis=1
@@ -1148,7 +1180,8 @@ class InvertedIndex:
 
 
 def _score_csr(starts, lens, mults, csr_ids, csr_vals, alive_dev,
-               n_cap: int, k_fetch: int, segcap: int):
+               n_cap: int, k_fetch: int, segcap: int,
+               aligned: bool = False):
     """Route by gathered width, query-chunked so one kernel's footprint
     stays bounded. Narrow gathers (rare/discriminative query dims, the
     realistic retrieval shape) take the sort+segment-sum kernel: no
@@ -1185,7 +1218,7 @@ def _score_csr(starts, lens, mults, csr_ids, csr_vals, alive_dev,
                 csr_segment_topk(
                     jnp.asarray(starts[s:e]), jnp.asarray(lens[s:e]),
                     jnp.asarray(mults[s:e]), csr_ids, csr_vals, alive_dev,
-                    k_fetch, segcap,
+                    k_fetch, segcap, aligned=aligned,
                 )
             )
             continue
@@ -1193,7 +1226,7 @@ def _score_csr(starts, lens, mults, csr_ids, csr_vals, alive_dev,
             csr_accumulate_topk(
                 jnp.asarray(starts[s:e]), jnp.asarray(lens[s:e]),
                 jnp.asarray(mults[s:e]), csr_ids, csr_vals, alive_dev,
-                n_cap, k_fetch, segcap,
+                n_cap, k_fetch, segcap, aligned=aligned,
             )
         )
     scores = np.concatenate([np.asarray(o[0]) for o in outs])[:b]

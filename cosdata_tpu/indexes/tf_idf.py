@@ -288,8 +288,29 @@ class TFIDFIndex:
             [cum, np.zeros((len(terms), 1), cum.dtype)], axis=1
         ).astype(np.int32)
         self._refresh_live_df()
-        self._csr_ids = jnp.asarray(self._h_ids_sorted)
-        self._csr_vals = jnp.asarray(self._h_tfs)
+        # 128-ALIGNED device layout (see inverted._build_csr): per-term
+        # list starts land on GATHER_LANE multiples so the kernels fetch
+        # postings at row grain (16.5x vs element grain, exp_r5_gather)
+        from cosdata_tpu.ops.sparse_kernels import GATHER_LANE
+
+        lane = GATHER_LANE
+        padc = -(-self._term_len // lane) * lane
+        starts_pad = np.concatenate(
+            [[0], np.cumsum(padc)]
+        )[:-1].astype(np.int64)
+        total = int(padc.sum())
+        ids_pad = np.full(total, -1, np.int32)
+        tfs_pad = np.zeros(total, np.float32)
+        within = np.arange(len(self._h_ids_sorted)) - np.repeat(
+            self._term_start, self._term_len
+        )
+        dst = np.repeat(starts_pad, self._term_len) + within
+        ids_pad[dst] = self._h_ids_sorted
+        tfs_pad[dst] = self._h_tfs
+        self._term_start_dev = starts_pad
+        self._csr_ids = jnp.asarray(ids_pad)
+        self._csr_vals = jnp.asarray(tfs_pad)
+        self._csr_aligned = True
         # per-doc (compact term idx, tf) padded rows for the gather-rescore
         # scoring path (see inverted.candidates_rescore_topk): score(doc) =
         # Σ idf[term] * tf over the doc's OWN row — exact BM25, no scatter
@@ -454,8 +475,12 @@ class TFIDFIndex:
         order = np.lexsort((-idf, qi))  # highest-idf terms first per query
         qi, tidx, idf, caps = qi[order], tidx[order], idf[order], caps[order]
         units = (self._term_heads[tidx] / self.TF_BUCKETS).astype(np.float32)
+        # emitted segment offsets address the ALIGNED device CSR
+        dev_start = getattr(self, "_term_start_dev", None)
+        if dev_start is None:
+            dev_start = self._term_start
         starts, lens, mults = impact_segments_batch(
-            b, qi, self._term_start[tidx], idf, caps,
+            b, qi, dev_start[tidx], idf, caps,
             self._tf_cnt, tidx, units, self.TF_BUCKETS, budget,
             self.SEGCAP, conservative=False, pad_min=_PAD_MIN // 16,
         )
@@ -501,6 +526,7 @@ class TFIDFIndex:
                 self._doc_tfs_dev, q_idx_arr, q_w_arr, self._alive_dev,
                 vocab_pad, min(top_k, self.n_cap), self.SEGCAP, 8, self.n_cap,
                 mults=mults, csr_vals=self._csr_vals,
+                aligned=getattr(self, "_csr_aligned", False),
             )
         # ---- dense-head + tail union, exact final rescore ----
         from cosdata_tpu.ops.sparse_kernels import (
@@ -514,6 +540,7 @@ class TFIDFIndex:
             self._doc_tfs_dev, q_idx_arr, q_w_arr, self._alive_dev,
             vocab_pad, nom, self.SEGCAP, 8, self.n_cap,
             mults=mults, csr_vals=self._csr_vals,
+            aligned=getattr(self, "_csr_aligned", False),
         )
         bp = max(_np2(b), 8)  # compile-shape stability
         dh_pad = self._head_codes_dev.shape[0]

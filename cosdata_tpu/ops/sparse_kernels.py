@@ -24,8 +24,52 @@ import jax.numpy as jnp
 
 from cosdata_tpu.ops.topk import NEG_INF
 
+#: posting-gather lane width: CSR uploads pad every list start to this
+#: boundary so kernels fetch postings as (LANE,)-wide ROWS. TPU gathers
+#: are latency-bound at element grain — 16.8M int32 slots measured
+#: 232.6 ms scalar-grain vs 14.1 ms as 131k x 128 rows (16.5x,
+#: scripts/exp_r5_gather.py)
+GATHER_LANE = 128
 
-@functools.partial(jax.jit, static_argnames=("n_cap", "k", "segcap"))
+
+def _gather_segments(starts, lens, post_ids, post_vals, segcap: int,
+                     aligned: bool):
+    """Gather (B, MAXD, segcap) posting ids+vals for segment descriptors.
+
+    ``aligned=True`` (the index built a 128-aligned CSR: every list start
+    is a GATHER_LANE multiple and padding slots carry id -1 / val 0)
+    fetches at row grain — the 16.5x path above; otherwise falls back to
+    the element-grain gather. Returns (ids, vals, valid), each
+    (B, MAXD, segcap); ids/vals are garbage where ~valid."""
+    b, maxd = starts.shape
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, segcap), 2)
+    valid = (iota < lens[:, :, None]) & (starts[:, :, None] >= 0)
+    p = post_ids.shape[0]
+    lane = GATHER_LANE
+    if aligned and segcap % lane == 0 and p % lane == 0:
+        nrow = segcap // lane
+        riota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nrow), 2)
+        rows = jnp.clip(
+            starts[:, :, None] // lane + riota, 0, p // lane - 1
+        )
+        ids = post_ids.reshape(-1, lane)[rows].reshape(b, maxd, segcap)
+        vals = (
+            post_vals.reshape(-1, lane)[rows].reshape(b, maxd, segcap)
+            if post_vals is not None else None
+        )
+        return ids, vals, valid
+    idx = starts[:, :, None] + iota
+    safe = jnp.clip(idx, 0, p - 1)
+    return (
+        post_ids[safe],
+        post_vals[safe] if post_vals is not None else None,
+        valid,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_cap", "k", "segcap", "aligned")
+)
 def csr_accumulate_topk(
     starts: jax.Array,  # (B, MAXD) int32 posting offsets (-1 = unused slot)
     lens: jax.Array,  # (B, MAXD) int32 segment lengths (<= segcap)
@@ -36,15 +80,15 @@ def csr_accumulate_topk(
     n_cap: int,
     k: int,
     segcap: int,
+    aligned: bool = False,
 ):
     """Returns (scores (B, k), ids (B, k)) — ids are -1 where no candidate."""
     b, maxd = starts.shape
-    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, segcap), 2)
-    idx = starts[:, :, None] + iota  # (B, MAXD, S)
-    valid = (iota < lens[:, :, None]) & (starts[:, :, None] >= 0)
-    safe = jnp.clip(idx, 0, post_ids.shape[0] - 1)
-    ids = jnp.where(valid, post_ids[safe], -1).reshape(b, maxd * segcap)
-    contrib = jnp.where(valid, mults[:, :, None] * post_vals[safe], 0.0)
+    g_ids, g_vals, valid = _gather_segments(
+        starts, lens, post_ids, post_vals, segcap, aligned
+    )
+    ids = jnp.where(valid, g_ids, -1).reshape(b, maxd * segcap)
+    contrib = jnp.where(valid, mults[:, :, None] * g_vals, 0.0)
     contrib = contrib.reshape(b, maxd * segcap)
     scores = jnp.zeros((b, n_cap), jnp.float32)
     safe_ids = jnp.maximum(ids, 0)
@@ -90,7 +134,9 @@ def csr_accumulate_topk(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("vocab_pad", "k_fetch", "nom", "segcap", "slot_chunk"),
+    static_argnames=(
+        "vocab_pad", "k_fetch", "nom", "segcap", "slot_chunk", "aligned",
+    ),
 )
 def nominate_rescore_topk(
     starts: jax.Array,  # (B, MAXD) int32 posting-segment offsets (-1 unused)
@@ -108,6 +154,7 @@ def nominate_rescore_topk(
     nom: int,
     segcap: int,
     slot_chunk: int,
+    aligned: bool = False,
 ):
     """Contribution-nominated candidate set + EXACT raw-row rescore.
 
@@ -142,13 +189,12 @@ def nominate_rescore_topk(
     qdense = qdense.at[rows_q, safe_qd].add(
         jnp.where(q_dim_idx >= 0, q_weights, 0.0), mode="drop"
     )
-    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, segcap), 2)
-    idx = starts[:, :, None] + iota
-    valid = (iota < lens[:, :, None]) & (starts[:, :, None] >= 0)
-    safe = jnp.clip(idx, 0, post_ids.shape[0] - 1)
-    ids = jnp.where(valid, post_ids[safe], -1).reshape(b, maxd * segcap)
+    g_ids, g_vals, valid = _gather_segments(
+        starts, lens, post_ids, post_vals, segcap, aligned
+    )
+    ids = jnp.where(valid, g_ids, -1).reshape(b, maxd * segcap)
     contrib = jnp.where(
-        valid, mults[:, :, None] * post_vals[safe], NEG_INF
+        valid, mults[:, :, None] * g_vals, NEG_INF
     ).reshape(b, maxd * segcap)
     contrib = jnp.where(
         (ids >= 0) & alive[jnp.maximum(ids, 0)], contrib, NEG_INF
@@ -214,7 +260,9 @@ def nominate_rescore_topk(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("vocab_pad", "k_fetch", "segcap", "cand_chunk"),
+    static_argnames=(
+        "vocab_pad", "k_fetch", "segcap", "cand_chunk", "aligned",
+    ),
 )
 def candidates_rescore_topk(
     starts: jax.Array,  # (B, MAXD) int32 posting-segment offsets (-1 unused)
@@ -229,6 +277,7 @@ def candidates_rescore_topk(
     k_fetch: int,
     segcap: int,
     cand_chunk: int,
+    aligned: bool = False,
 ):
     """Candidate gather + EXACT raw-row rescore + top-k, no scatter.
 
@@ -255,11 +304,10 @@ def candidates_rescore_topk(
         jnp.where(q_dim_idx >= 0, q_weights, 0.0), mode="drop"
     )
     # candidate ids from the budgeted posting prefixes
-    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, segcap), 2)
-    idx = starts[:, :, None] + iota
-    valid = (iota < lens[:, :, None]) & (starts[:, :, None] >= 0)
-    safe = jnp.clip(idx, 0, post_ids.shape[0] - 1)
-    cand = jnp.where(valid, post_ids[safe], -1).reshape(b, maxd * segcap)
+    g_ids, _g_vals, valid = _gather_segments(
+        starts, lens, post_ids, None, segcap, aligned
+    )
+    cand = jnp.where(valid, g_ids, -1).reshape(b, maxd * segcap)
     p = cand.shape[1]
     pad = (-p) % cand_chunk
     if pad:
@@ -309,7 +357,7 @@ def candidates_rescore_topk(
     return top_s, top_i
 
 
-@functools.partial(jax.jit, static_argnames=("k", "segcap"))
+@functools.partial(jax.jit, static_argnames=("k", "segcap", "aligned"))
 def csr_segment_topk(
     starts: jax.Array,  # (B, MAXD) int32 posting offsets (-1 = unused slot)
     lens: jax.Array,  # (B, MAXD) int32 segment lengths (<= segcap)
@@ -319,6 +367,7 @@ def csr_segment_topk(
     alive: jax.Array,  # (n_cap,) bool
     k: int,
     segcap: int,
+    aligned: bool = False,
 ):
     """Sort + segment-sum CSR scoring for SMALL gathered widths (the router
     caps pad at 65536): O(B x gathered) with no n_cap-sized buffers and no
@@ -327,12 +376,11 @@ def csr_segment_topk(
     scatter kernel instead: a 10^5+-wide single-axis sort takes tens of
     minutes to compile for TPU."""
     b, maxd = starts.shape
-    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, segcap), 2)
-    idx = starts[:, :, None] + iota
-    valid = (iota < lens[:, :, None]) & (starts[:, :, None] >= 0)
-    safe = jnp.clip(idx, 0, post_ids.shape[0] - 1)
-    ids = jnp.where(valid, post_ids[safe], -1).reshape(b, maxd * segcap)
-    contrib = jnp.where(valid, mults[:, :, None] * post_vals[safe], 0.0)
+    g_ids, g_vals, valid = _gather_segments(
+        starts, lens, post_ids, post_vals, segcap, aligned
+    )
+    ids = jnp.where(valid, g_ids, -1).reshape(b, maxd * segcap)
+    contrib = jnp.where(valid, mults[:, :, None] * g_vals, 0.0)
     contrib = contrib.reshape(b, maxd * segcap)
     pad = ids.shape[1]
     # group equal ids per row (-1 padding sorts first)

@@ -513,7 +513,8 @@ class TestDenseHeadEngine:
         for s, l in zip(starts[0], lens[0]):
             if s < 0 or l == 0:
                 continue
-            d_pos = np.searchsorted(idx._dim_start, s, side="right") - 1
+            # segment starts address the 128-aligned device CSR
+            d_pos = np.searchsorted(idx._dim_start_dev, s, side="right") - 1
             assert int(idx._dim_uniq[d_pos]) not in head_dims
 
 
