@@ -32,6 +32,34 @@ from cosdata_tpu.ops.topk import NEG_INF
 GATHER_LANE = 128
 
 
+def _score_doc_rows(dd, dv, q_dim_idx, q_weights):
+    """Exact score Σ_j qv[dim_j]·val_j for gathered candidate doc rows
+    WITHOUT the per-element qdense lookup: `take_along_axis` over the
+    (B, vocab_pad) dense query rows is an element-grain gather (8.4M
+    lookups per 256x512x64 rescore — the same latency-bound class as the
+    posting gathers, scripts/exp_r5_gather.py). Instead accumulate over
+    the <=QD query dims with broadcast compares — pure VPU elementwise,
+    QD x (B, C, R) ops, no gather at all.
+
+    dd: (B, C, R) int32 compact doc-dim ids (0-padded rows);
+    dv: (B, C, R) f32 doc values (0-padded);
+    q_dim_idx: (B, QD) int32 (-1 pad); q_weights: (B, QD) f32.
+    Duplicate query dims sum, matching the qdense scatter-add semantics.
+    Returns (B, C) f32 scores."""
+    b, c, _r = dd.shape
+    qd = q_dim_idx.shape[1]
+
+    def body(t, acc):
+        qi = jax.lax.dynamic_slice_in_dim(q_dim_idx, t, 1, axis=1)
+        qw = jax.lax.dynamic_slice_in_dim(q_weights, t, 1, axis=1)
+        live = qi[:, :, None] >= 0
+        m = (dd == qi[:, :, None]) & live
+        contrib = jnp.sum(jnp.where(m, dv, 0.0), axis=-1)  # (B, C)
+        return acc + qw * contrib
+
+    return jax.lax.fori_loop(0, qd, body, jnp.zeros((b, c), jnp.float32))
+
+
 def _gather_segments(starts, lens, post_ids, post_vals, segcap: int,
                      aligned: bool):
     """Gather (B, MAXD, segcap) posting ids+vals for segment descriptors.
@@ -183,12 +211,6 @@ def nominate_rescore_topk(
     Returns (scores (B, k_fetch), ids (B, k_fetch)).
     """
     b, maxd = starts.shape
-    rows_q = jax.lax.broadcasted_iota(jnp.int32, q_dim_idx.shape, 0)
-    safe_qd = jnp.where(q_dim_idx >= 0, q_dim_idx, vocab_pad)
-    qdense = jnp.zeros((b, vocab_pad + 1), jnp.float32)
-    qdense = qdense.at[rows_q, safe_qd].add(
-        jnp.where(q_dim_idx >= 0, q_weights, 0.0), mode="drop"
-    )
     g_ids, g_vals, valid = _gather_segments(
         starts, lens, post_ids, post_vals, segcap, aligned
     )
@@ -234,15 +256,12 @@ def nominate_rescore_topk(
         jnp.full((b, nom_eff), -1, jnp.int32),
     )
     _nom_s, nom_ids = jax.lax.fori_loop(0, n_chunks, body, init)
-    # exact rescore of the nominated docs only
+    # exact rescore of the nominated docs only (broadcast-compare — see
+    # _score_doc_rows; the qdense take_along_axis was gather-latency-bound)
     safe_c = jnp.maximum(nom_ids, 0)
     dd = doc_dims[safe_c]  # (B, nom, R)
     dv = doc_vals[safe_c]
-    r = dd.shape[2]
-    qv = jnp.take_along_axis(qdense, dd.reshape(b, -1), axis=1).reshape(
-        b, nom_eff, r
-    )
-    sc = jnp.sum(qv * dv, axis=-1)
+    sc = _score_doc_rows(dd, dv, q_dim_idx, q_weights)
     ok = (nom_ids >= 0) & alive[safe_c]
     sc = jnp.where(ok, sc, NEG_INF)
     kf = min(k_fetch, nom_eff)
@@ -296,13 +315,6 @@ def candidates_rescore_topk(
     Returns (scores (B, k_fetch), ids (B, k_fetch)).
     """
     b, maxd = starts.shape
-    # dense query-weight rows: tiny scatter (B x QD updates)
-    rows_q = jax.lax.broadcasted_iota(jnp.int32, q_dim_idx.shape, 0)
-    safe_qd = jnp.where(q_dim_idx >= 0, q_dim_idx, vocab_pad)
-    qdense = jnp.zeros((b, vocab_pad + 1), jnp.float32)
-    qdense = qdense.at[rows_q, safe_qd].add(
-        jnp.where(q_dim_idx >= 0, q_weights, 0.0), mode="drop"
-    )
     # candidate ids from the budgeted posting prefixes
     g_ids, _g_vals, valid = _gather_segments(
         starts, lens, post_ids, None, segcap, aligned
@@ -323,10 +335,8 @@ def candidates_rescore_topk(
         safe_c = jnp.maximum(ids_c, 0)
         dd = doc_dims[safe_c]  # (B, PC, R)
         dv = doc_vals[safe_c]  # (B, PC, R)
-        qv = jnp.take_along_axis(
-            qdense, dd.reshape(b, -1), axis=1
-        ).reshape(b, cand_chunk, r)
-        sc = jnp.sum(qv * dv, axis=-1)  # exact raw score (pads carry 0)
+        # exact raw score, broadcast-compare (see _score_doc_rows)
+        sc = _score_doc_rows(dd, dv, q_dim_idx, q_weights)
         ok = (ids_c >= 0) & alive[safe_c]
         sc = jnp.where(ok, sc, NEG_INF)
         if jax.default_backend() == "tpu":
@@ -505,20 +515,11 @@ def rescore_ids_topk(
     Returns (scores (B, k) f32, ids (B, k) int32).
     """
     b, c = cand.shape
-    rows_q = jax.lax.broadcasted_iota(jnp.int32, q_dim_idx.shape, 0)
-    safe_qd = jnp.where(q_dim_idx >= 0, q_dim_idx, vocab_pad)
-    qdense = jnp.zeros((b, vocab_pad + 1), jnp.float32)
-    qdense = qdense.at[rows_q, safe_qd].add(
-        jnp.where(q_dim_idx >= 0, q_weights, 0.0), mode="drop"
-    )
     safe_c = jnp.maximum(cand, 0)
     dd = doc_dims[safe_c]  # (B, C, R)
     dv = doc_vals[safe_c]  # (B, C, R)
-    r = dd.shape[2]
-    qv = jnp.take_along_axis(qdense, dd.reshape(b, -1), axis=1).reshape(
-        b, c, r
-    )
-    sc = jnp.sum(qv * dv, axis=-1)
+    # exact raw score, broadcast-compare (see _score_doc_rows)
+    sc = _score_doc_rows(dd, dv, q_dim_idx, q_weights)
     ok = (cand >= 0) & alive[safe_c]
     sc = jnp.where(ok, sc, NEG_INF)
     top_s, pos = jax.lax.top_k(sc, min(k, c))
