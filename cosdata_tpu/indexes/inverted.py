@@ -1121,6 +1121,37 @@ class InvertedIndex:
             mults = np.pad(mults, ((0, bp - b), (0, 0)))
         nom = int(min(max(self.NOMINATE * top_k, 64), self.n_cap))
         chunk = min(self.n_cap, 1 << 16)
+        aligned = getattr(self, "_csr_aligned", False)
+        maxd = starts.shape[1]
+        r = self._doc_dims_dev.shape[1]
+        nom_width = min(max(4 * nom, 512), self.n_cap)
+        exhaustive = os.environ.get("COSDATA_SPARSE_EXHAUSTIVE", "") == "1"
+        fits_one = (
+            not exhaustive
+            and bp <= SEG_QUERY_CHUNK
+            and bp * maxd * self.SEGCAP <= (1 << 25)
+            and bp * nom_width * r <= (1 << 27)
+        )
+        if fits_one:
+            # ONE device program: head matmul + tail nomination + union +
+            # exact rescore (the 3-program shape host-hopped the id sets —
+            # 2 extra sync round trips per search, the b<=64 latency floor)
+            from cosdata_tpu.ops.sparse_kernels import (
+                head_tail_union_rescore,
+            )
+
+            f_sc, f_ids = head_tail_union_rescore(
+                jnp.asarray(starts), jnp.asarray(lens), jnp.asarray(mults),
+                self._csr_ids, self._csr_vals, self._doc_dims_dev,
+                self._doc_vals_dev, jnp.asarray(q_idx), jnp.asarray(q_w),
+                jnp.asarray(q_head), self._head_codes_dev, self._alive_dev,
+                vocab_pad, top_k, nom, nom_width, self.SEGCAP, 1 << 16,
+                chunk, aligned,
+            )
+            out_i, out_s = _dedup_topk(
+                np.asarray(f_ids, np.int64), np.asarray(f_sc), top_k
+            )
+            return out_i[:b], out_s[:b]
         h_sc, h_ids = head_matmul_topk(
             jnp.asarray(q_head), self._head_codes_dev, self._alive_dev,
             nom, chunk,
@@ -1130,7 +1161,7 @@ class InvertedIndex:
             self._doc_vals_dev, q_idx, q_w, self._alive_dev, vocab_pad,
             nom, self.SEGCAP, self.DUP_SLACK, self.n_cap,
             mults=mults, csr_vals=self._csr_vals,
-            aligned=getattr(self, "_csr_aligned", False),
+            aligned=aligned,
         )
         cand = np.concatenate(
             [np.asarray(h_ids, np.int64), t_ids], axis=1

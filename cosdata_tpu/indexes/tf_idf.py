@@ -18,6 +18,7 @@ scatter-accumulate/top-k kernel:
 from __future__ import annotations
 
 import math
+import os
 
 import jax.numpy as jnp
 import numpy as np
@@ -535,6 +536,51 @@ class TFIDFIndex:
         )
 
         nom = int(min(max(self.NOMINATE * top_k, 64), self.n_cap))
+        bp_f = max(_np2(b), 8)
+        aligned_f = getattr(self, "_csr_aligned", False)
+        r_f = self._doc_terms_dev.shape[1]
+        nom_width = min(max(4 * nom, 512), self.n_cap)
+        from cosdata_tpu.indexes.inverted import SEG_QUERY_CHUNK as _SQC
+
+        exhaustive = os.environ.get("COSDATA_SPARSE_EXHAUSTIVE", "") == "1"
+        fits_one = (
+            not exhaustive
+            and bp_f <= _SQC
+            and bp_f * starts.shape[1] * self.SEGCAP <= (1 << 25)
+            and bp_f * nom_width * r_f <= (1 << 27)
+        )
+        if fits_one:
+            # ONE device program (see inverted._search_head: the
+            # 3-program shape host-hopped both nomination id sets)
+            from cosdata_tpu.ops.sparse_kernels import (
+                head_tail_union_rescore,
+            )
+
+            dh_pad = self._head_codes_dev.shape[0]
+            q_head = np.zeros((bp_f, dh_pad), np.float32)
+            np.add.at(q_head, (qi_h, self._head_col[tidx_h]), idf_h)
+            if bp_f > b:
+                starts = np.pad(starts, ((0, bp_f - b), (0, 0)),
+                                constant_values=-1)
+                lens = np.pad(lens, ((0, bp_f - b), (0, 0)))
+                mults = np.pad(mults, ((0, bp_f - b), (0, 0)))
+                q_idx_arr = np.pad(q_idx_arr, ((0, bp_f - b), (0, 0)),
+                                   constant_values=-1)
+                q_w_arr = np.pad(q_w_arr, ((0, bp_f - b), (0, 0)))
+            f_sc, f_ids = head_tail_union_rescore(
+                jnp.asarray(starts), jnp.asarray(lens),
+                jnp.asarray(mults), self._csr_ids, self._csr_vals,
+                self._doc_terms_dev, self._doc_tfs_dev,
+                jnp.asarray(q_idx_arr), jnp.asarray(q_w_arr),
+                jnp.asarray(q_head), self._head_codes_dev,
+                self._alive_dev, vocab_pad, top_k, nom, nom_width,
+                self.SEGCAP, 1 << 16, min(self.n_cap, 1 << 16),
+                aligned_f,
+            )
+            out_i, out_s = _dedup_topk(
+                np.asarray(f_ids, np.int64), np.asarray(f_sc), top_k
+            )
+            return out_i[:b], out_s[:b]
         t_ids, _t_sc = rescore_dispatch(
             starts, lens, self._csr_ids, self._doc_terms_dev,
             self._doc_tfs_dev, q_idx_arr, q_w_arr, self._alive_dev,

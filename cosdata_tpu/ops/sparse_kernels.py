@@ -532,3 +532,60 @@ def rescore_ids_topk(
         )
         top_s = jnp.pad(top_s, ((0, 0), (0, k - top_s.shape[1])))
     return top_s, top_i
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "vocab_pad", "top_k", "nom_out", "nom_width", "segcap",
+        "slot_chunk", "head_chunk", "aligned",
+    ),
+)
+def head_tail_union_rescore(
+    starts: jax.Array,  # (B, MAXD) int32 tail posting-segment offsets
+    lens: jax.Array,  # (B, MAXD) int32
+    mults: jax.Array,  # (B, MAXD) f32
+    post_ids: jax.Array,  # (P,) int32
+    post_vals: jax.Array,  # (P,) f32
+    doc_dims: jax.Array,  # (n_cap, R) int32
+    doc_vals: jax.Array,  # (n_cap, R) f32
+    q_dim_idx: jax.Array,  # (B, QD) int32
+    q_weights: jax.Array,  # (B, QD) f32
+    q_head: jax.Array,  # (B, Dh) f32
+    head_codes: jax.Array,  # (Dh, n_cap) u8
+    alive: jax.Array,  # (n_cap,) bool
+    vocab_pad: int,
+    top_k: int,
+    nom_out: int,
+    nom_width: int,
+    segcap: int,
+    slot_chunk: int,
+    head_chunk: int,
+    aligned: bool,
+):
+    """ONE program for the dense-head + CSR-tail engine: head matmul
+    nomination, tail contribution nomination + exact rescore, union, and
+    the final exact raw-row rescore — all device-side. The previous
+    3-program shape DOWNLOADED both nomination id sets to the host,
+    concatenated, and re-uploaded: two extra sync round trips (~33 ms
+    each on the tunnel) that dominated the b<=64 light-load latencies
+    (VERDICT r5 ask #7). Tail duplicates in the union carry identical
+    exact scores; the caller's host dedup collapses them.
+
+    Returns (scores (B, min(2*top_k, 2*nom_out)), ids (..)) — fused-
+    nomination union ranked by exact score.
+    """
+    _h_sc, h_ids = head_matmul_topk(
+        q_head, head_codes, alive, nom_out, head_chunk
+    )
+    _t_sc, t_ids = nominate_rescore_topk(
+        starts, lens, mults, post_ids, post_vals, doc_dims, doc_vals,
+        q_dim_idx, q_weights, alive, vocab_pad, nom_out, nom_width,
+        segcap, slot_chunk, aligned=aligned,
+    )
+    cand = jnp.concatenate([h_ids, t_ids], axis=1)
+    fetch = min(2 * top_k, cand.shape[1])
+    return rescore_ids_topk(
+        cand, doc_dims, doc_vals, q_dim_idx, q_weights, alive,
+        vocab_pad, fetch,
+    )
