@@ -509,7 +509,7 @@ def _streamed_chunk_merge_codes(
     return top_s, top_i
 
 
-def _stream_codes_eligible(store, b: int) -> bool:
+def _stream_codes_eligible(store) -> bool:
     """Gate for the fused-codes streamed merge: u8 cosine/dot on a real
     TPU (or interpret-mode override for tests), chunk/batch shapes the
     kernel tiles cleanly."""
@@ -570,7 +570,7 @@ def streamed_flat_topk(metric, store, q_np, k_fetch, valid_np):
     k = min(k_fetch, store.capacity)
     top_s = jnp.full((bp, k), NEG_INF, jnp.float32)
     top_i = jnp.full((bp, k), -1, jnp.int32)
-    codes_merge = _stream_codes_eligible(store, bp)
+    codes_merge = _stream_codes_eligible(store)
     interpret = os.environ.get("COSDATA_STREAM_CODES", "") == "interpret"
     n_rows = store.n
     for base in range(0, n_rows, STREAM_CHUNK):
