@@ -179,7 +179,19 @@ class FlatIndex:
                     fused_flat_search_codes_f16q,
                 )
 
+                import os as _os
+
+                # "bins" default (r5): the global bin-max route replaces
+                # 16 per-chunk approx_max_k sorts with ONE selection over
+                # the maxima — measured 261 vs 400 ms at b4096, even at
+                # b1024, recall preserved at k_bins=64
+                # (scripts/exp_r5_flatdev.py / exp_r5_scanparts.py)
+                select = _os.environ.get("COSDATA_SCAN_SELECT", "bins")
                 group = 32
+                # windowed-max guarantee: the true top-J rows live in the
+                # top-J bins; 64 = k_fetch slack + headroom for the 0.99
+                # approx selection over maxima (every extra bin costs a
+                # `group`-row expansion rescore)
                 k_bins = max(64, -(-k_fetch // group) * 2)
                 if not do_rerank:
                     # no rerank tier: u8 codes are the leanest wire
@@ -189,7 +201,7 @@ class FlatIndex:
                         self.store.dim_pad, k_bins, group, k_fetch,
                         k_fetch, self.SCAN_CHUNK,
                         False, qc, self.store._arrays, qc.data, qc.mags,
-                        mask,
+                        mask, select=select,
                     )
                     return ids[:, :top_k], vals[:, :top_k]
                 # ONE f16 query upload serves both stages (the old
@@ -204,6 +216,7 @@ class FlatIndex:
                     self.store.metric, self.store.dim, self.store.dim_pad,
                     k_bins, group, k_fetch, k_fetch, self.SCAN_CHUNK,
                     q_f16, lo, hi, self.store._arrays, mask,
+                    select=select,
                 )
                 return exact_rerank_sorted(
                     self.store.metric, self.store.dim, self.store.dim_pad,

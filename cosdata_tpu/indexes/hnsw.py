@@ -1528,10 +1528,11 @@ class HNSWIndex:
                 )
                 group = 32
                 k_bins = max(64, -(-keep // group) * 2)
+                select = os.environ.get("COSDATA_SCAN_SELECT", "approx")
                 ids, vals = fused_flat_search_codes(
                     self.store.metric, self.store.dim, self.store.dim_pad,
                     k_bins, group, keep, top_k, self.SCAN_CHUNK, do_rerank,
-                    qc, self.store._arrays, raw, q_re, valid,
+                    qc, self.store._arrays, raw, q_re, valid, select=select,
                 )
                 return ids[:b], vals[:b]
             q_raw = self.store.ship_queries(queries)

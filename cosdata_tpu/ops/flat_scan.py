@@ -113,7 +113,7 @@ def flat_scan_topk(
     jax.jit,
     static_argnames=(
         "metric", "d_true", "d_pad", "k_bins", "group", "k_fetch", "k",
-        "chunk", "rerank",
+        "chunk", "rerank", "select",
     ),
 )
 def fused_flat_search_codes(
@@ -136,6 +136,9 @@ def fused_flat_search_codes(
     #       the shortlist (measured, scripts/exp_r4_flat.py) — while f16
     #       queries cost 1.5 MB per 1024-batch next to the 768 MB scan.
     valid,  # (cap,) bool
+    select: str = "approx",  # STATIC selection strategy (see below) —
+    #       resolved by the caller; an env read inside the trace would
+    #       not key the jit cache and flips would reuse stale programs
 ):
     """u8 flat scan tuned for wire and selection cost (the r3 headline
     engine; measured against `fused_flat_search` in scripts/exp_r3.py):
@@ -167,40 +170,28 @@ def fused_flat_search_codes(
     num_chunks = capacity // chunk
     bins_per_chunk = chunk // group
 
-    import os as _os
-
     # stage-1 selection strategy:
     #   "approx" (default) — per-chunk bf16 approx_max_k shortlists merged
-    #     through the sweep, candidates rerank directly (measured 16.5k
-    #     qps device-side at 1M x 768, overlap 1.0 with exact selection)
-    #   "bins"  — bin-max + window expansion + quantized rescore; with
-    #     COSDATA_PALLAS_SCAN=1 the bin maxima come from the fused Pallas
-    #     kernel (scores VMEM-only; stage-1 14 ms/1M — but the expansion
-    #     rescore currently bounds the pipeline, see scripts/exp_r3b.py)
-    select = _os.environ.get("COSDATA_SCAN_SELECT", "approx")
-    pallas_bc = 2048
-    use_pallas = (
-        select == "bins"
-        and jax.default_backend() == "tpu"
-        and metric in ("cosine", "dot")
-        and capacity % pallas_bc == 0
-        and pallas_bc % group == 0
-        and (pallas_bc // group) % 8 == 0
-        and _os.environ.get("COSDATA_PALLAS_SCAN", "1") != "0"
-    )
+    #     through the sweep, candidates rerank directly
+    #   "bins"  — GLOBAL bin-max: per-chunk group-max reductions write one
+    #     (B, capacity/group) maxima table (no per-chunk sort — the
+    #     per-chunk approx_max_k calls were ~90% of stage-1, measured
+    #     16 x 16.3 ms vs a 12.6 ms matmul sweep at b1024,
+    #     scripts/exp_r5_scanparts.py), then ONE approx_max_k over the
+    #     maxima + window expansion + quantized rescore. The Pallas
+    #     bin-max variant was removed from this path: the kernel measured
+    #     ~360 ms per 64k slice on-chip — ~100x off its own module-doc
+    #     claim (it survives for interpret-mode tests and the explicit
+    #     streamed opt-in).
     if select != "bins":
         # u8 dot scores are integer-valued sums: bf16's 8-bit mantissa
         # collapses them into ties above ~256 and approx_max_k breaks the
         # ties arbitrarily, so tie-dense (clustered) corpora lose true
         # top-k rows out of the shortlist before the exact rerank can save
         # them (measured 0.9499 recall@10 at 1M x 768 vs 0.95+ required).
-        # f32 selection doubles the (B, chunk) score write; set
-        # COSDATA_SCAN_SEL=bf16 to restore the cheaper cast.
-        sel_dtype = (
-            jnp.bfloat16
-            if _os.environ.get("COSDATA_SCAN_SEL", "f32") == "bf16"
-            else jnp.float32
-        )
+        # f32 selection doubles the (B, chunk) score write; the "bf16"
+        # select value restores the cheaper cast for tie-sparse corpora.
+        sel_dtype = jnp.bfloat16 if select == "bf16" else jnp.float32
 
         def abody(c, carry):
             top_s, top_i = carry
@@ -241,89 +232,70 @@ def fused_flat_search_codes(
             vals, ids = vals[:, :k], ids[:, :k]
         ids = jnp.where(vals > NEG_INF / 2, ids, -1)
         return ids, vals
-    if use_pallas:
-        # fused MXU matmul + dequant + bin-max with scores VMEM-only
-        # (ops/pallas/u8_scan.py); selection then runs over C/group maxima.
-        # The kernel is invoked per fixed-size row slice: one compiled
-        # program shape serves every capacity (a monolithic 1M-row grid
-        # sat in the remote compiler for 15+ minutes; the 64k-row shape
-        # compiles in seconds and XLA reuses it across the slices).
-        # NB: pallas bins are STRIDED row groups (see u8_scan module doc)
-        from cosdata_tpu.ops.pallas.u8_scan import u8_bin_max_from_store
-
-        pc = min(1 << 16, capacity)
-        parts = []
-        for s0 in range(0, capacity, pc):
-            sl = _slice_store(store, "u8", s0, pc)
-            v = jax.lax.dynamic_slice_in_dim(valid, s0, pc)
-            parts.append(u8_bin_max_from_store(
-                metric, group, q, sl, v, d_pad,
-                qb=min(512, b), bc=pallas_bc,
-            ))
-        bins = jnp.concatenate(parts, axis=0).T  # (B, C/group)
-        bin_s, bin_ids = jax.lax.approx_max_k(
-            bins, k_bins, recall_target=0.99
+    # per-chunk group-max reductions fill ONE global maxima table; the
+    # bf16 cast halves the reduce's read traffic, maxima stored f32
+    def bbody(c, bins):
+        start = c * chunk
+        sl = _slice_store(store, "u8", start, chunk)
+        scores = D.score(metric, "u8", q, sl, d_pad)  # (B, chunk)
+        v = jax.lax.dynamic_slice_in_dim(valid, start, chunk)
+        scores = jnp.where(v[None, :], scores, NEG_INF).astype(jnp.bfloat16)
+        bin_max = scores.reshape(b, bins_per_chunk, group).max(axis=2)
+        return jax.lax.dynamic_update_slice(
+            bins, bin_max.astype(jnp.float32), (0, c * bins_per_chunk)
         )
-        bin_ids = jnp.where(bin_s > NEG_INF / 2, bin_ids, -1)
-    else:
-        def body(c, carry):
-            top_s, top_b = carry
-            start = c * chunk
-            sl = _slice_store(store, "u8", start, chunk)
-            scores = D.score(metric, "u8", q, sl, d_pad)  # (B, chunk)
-            v = jax.lax.dynamic_slice_in_dim(valid, start, chunk)
-            scores = jnp.where(v[None, :], scores, NEG_INF).astype(jnp.bfloat16)
-            bin_max = scores.reshape(b, bins_per_chunk, group).max(axis=2)
-            bin_max = bin_max.astype(jnp.float32)
-            c_b = jax.lax.broadcasted_iota(jnp.int32, (b, bins_per_chunk), 1)
-            c_b = c_b + c * bins_per_chunk
-            all_s = jnp.concatenate([top_s, bin_max], axis=1)
-            all_b = jnp.concatenate([top_b, c_b], axis=1)
-            top_s, pos = jax.lax.top_k(all_s, k_bins)
-            top_b = jnp.take_along_axis(all_b, pos, axis=1)
-            return top_s, top_b
 
-        init = (
-            jnp.full((b, k_bins), NEG_INF, jnp.float32),
-            jnp.full((b, k_bins), -1, jnp.int32),
-        )
-        bin_s, bin_ids = jax.lax.fori_loop(0, num_chunks, body, init)
-    # expand the winning bins to row candidates and rescore exactly
-    safe_bins = jnp.maximum(bin_ids, 0)
-    if use_pallas:
-        # strided bins: bin id = (block j) * nb + offset; rows =
-        # j*bc + offset + g*nb (u8_scan module doc)
-        nb = pallas_bc // group
-        jblk = safe_bins // nb
-        off = safe_bins % nb
-        rows = (
-            (jblk * pallas_bc + off)[:, :, None]
-            + jnp.arange(group)[None, None, :] * nb
-        ).reshape(b, k_bins * group)
-    else:
-        rows = (
-            safe_bins[:, :, None] * group
-            + jnp.arange(group)[None, None, :]
-        ).reshape(b, k_bins * group)
-    live = (
-        (bin_ids[:, :, None] >= 0).repeat(group, axis=2).reshape(b, -1)
-        & valid[rows]
+    bins = jax.lax.fori_loop(
+        0, num_chunks, bbody,
+        jnp.full((b, capacity // group), NEG_INF, jnp.float32),
     )
-    # chunked exact (quantized) rescore of the expanded windows: a single
-    # (B, k_bins*group, D) gather blows HBM past ~2048 candidates
+    k_bins = min(k_bins, capacity // group)  # small stores: fewer bins
+    bin_s, bin_ids = jax.lax.approx_max_k(bins, k_bins, recall_target=0.99)
+    bin_ids = jnp.where(bin_s > NEG_INF / 2, bin_ids, -1)
+    # expand the winning bins and rescore exactly (quantized). Bins are
+    # CONTIGUOUS row groups, so candidates gather as ONE (group*D)-byte
+    # BLOCK row per bin via a reshaped view — 24 KB block gathers instead
+    # of `group` separate row gathers (gather cost is per-row
+    # latency-bound on TPU, scripts/exp_r5_gather.py). Chunked over bins
+    # to keep the (B, ch*group, D) working set bounded.
     p_total = k_bins * group
-    ch = min(p_total, 1024)
-    while p_total % ch:
-        ch //= 2
     kf = min(k_fetch, p_total)
+    kb_ch = max(1, min(k_bins, 1024 // group))
+    while k_bins % kb_ch:
+        kb_ch -= 1
+    cap_g = capacity // group
+    data_blk = store.data.reshape(cap_g, group * d_pad)
+    sums_blk = store.sums.reshape(cap_g, group)
+    mags_blk = store.mags.reshape(cap_g, group)
+    valid_blk = valid.reshape(cap_g, group)
+    uq = (q.sums + 128 * d_pad).astype(jnp.float32)
 
     def exp_body(cc, carry):
         top_s, top_i = carry
-        rows_c = jax.lax.dynamic_slice_in_dim(rows, cc * ch, ch, axis=1)
-        live_c = jax.lax.dynamic_slice_in_dim(live, cc * ch, ch, axis=1)
-        sc = _scores_gathered(metric, "u8", d_pad, q, store, rows_c)
+        bsel = jax.lax.dynamic_slice_in_dim(bin_ids, cc * kb_ch, kb_ch, 1)
+        safe_b = jnp.maximum(bsel, 0)
+        cw = kb_ch * group
+        cdata = data_blk[safe_b].reshape(b, cw, d_pad)
+        csums = sums_blk[safe_b].reshape(b, cw)
+        cmags = mags_blk[safe_b].reshape(b, cw)
+        live_c = valid_blk[safe_b].reshape(b, cw) & (
+            (bsel[:, :, None] >= 0).repeat(group, 2).reshape(b, cw)
+        )
+        cc_dot = _Sdiag(q.data, cdata, int8=True)
+        code_dot = (
+            cc_dot + 128 * (q.sums[:, None] + csums) + d_pad * 128 * 128
+        ).astype(jnp.float32)
+        uc = (csums + 128 * d_pad).astype(jnp.float32)
+        dot = (
+            q.a * q.a * code_dot + q.a * q.b * (uq[:, None] + uc)
+            + q.b * q.b * q.dtrue
+        )
+        sc = _cos_or_dot(metric, dot, q.mags, cmags)
+        rows_c = (
+            safe_b[:, :, None] * group + jnp.arange(group)[None, None, :]
+        ).reshape(b, cw)
         sc = jnp.where(live_c, sc, NEG_INF)
-        c_s, c_pos = jax.lax.top_k(sc, min(kf, ch))
+        c_s, c_pos = jax.lax.top_k(sc, min(kf, cw))
         c_i = jnp.take_along_axis(rows_c, c_pos, axis=1)
         all_s = jnp.concatenate([top_s, c_s], axis=1)
         all_i = jnp.concatenate([top_i, c_i], axis=1)
@@ -335,7 +307,7 @@ def fused_flat_search_codes(
         jnp.full((b, kf), NEG_INF, jnp.float32),
         jnp.full((b, kf), -1, jnp.int32),
     )
-    vals, ids = jax.lax.fori_loop(0, p_total // ch, exp_body, init)
+    vals, ids = jax.lax.fori_loop(0, k_bins // kb_ch, exp_body, init)
     if rerank:
         # exact rerank against raw rows with the EXACT (f16-wire) queries
         lanes = jnp.arange(d_pad) < d_true
@@ -360,7 +332,7 @@ def fused_flat_search_codes(
     jax.jit,
     static_argnames=(
         "metric", "d_true", "d_pad", "k_bins", "group", "k_fetch", "k",
-        "chunk",
+        "chunk", "select",
     ),
 )
 def fused_flat_search_codes_f16q(
@@ -377,6 +349,7 @@ def fused_flat_search_codes_f16q(
     hi,
     store,
     valid,
+    select: str = "approx",
 ):
     """Codes-engine stage 1 fed by ONE f16 query upload.
 
@@ -395,7 +368,7 @@ def fused_flat_search_codes_f16q(
     )
     return fused_flat_search_codes(
         metric, d_true, d_pad, k_bins, group, k_fetch, k, chunk,
-        False, q, store, q.data, q.mags, valid,
+        False, q, store, q.data, q.mags, valid, select=select,
     )
 
 
@@ -510,17 +483,17 @@ def _streamed_chunk_merge_codes(
 
 
 def _stream_codes_eligible(store) -> bool:
-    """Gate for the fused-codes streamed merge: u8 cosine/dot on a real
-    TPU (or interpret-mode override for tests), chunk/batch shapes the
-    kernel tiles cleanly."""
+    """Gate for the fused-codes streamed merge — EXPLICIT OPT-IN
+    (COSDATA_STREAM_CODES=1, or =interpret for CPU tests): the Pallas
+    bin-max kernel measured ~360 ms per 64k-row slice on-chip
+    (scripts/exp_r5_scanparts.py) vs ~4 ms for the plain XLA chunk merge;
+    the streamed tier is wire-bound anyway, so the default stays plain."""
     if store.kind != "u8" or store.metric not in ("cosine", "dot"):
         return False
     env = os.environ.get("COSDATA_STREAM_CODES", "")
-    if env == "0":
-        return False
     if env == "interpret":
         return True
-    return jax.default_backend() == "tpu" and STREAM_CHUNK % 2048 == 0
+    return env == "1" and STREAM_CHUNK % 2048 == 0
 
 
 #: rows per streamed chunk (x dim bytes = h2d transfer per dispatch)

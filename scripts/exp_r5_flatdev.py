@@ -44,7 +44,7 @@ from cosdata_tpu.ops.flat_scan import (
 st = flat.store
 lo, hi = st.range
 group, kf = 32, 5 * k
-k_bins = max(64, -(-kf // group) * 2)
+k_bins = max(32, -(-kf // group) * 2)
 mask = flat._mask()
 
 
@@ -65,10 +65,13 @@ for bsz in (1024, 4096):
     qc = st.ship_query_codes(qn)
     jax.block_until_ready((q_f16, qc.data))
 
+    select = os.environ.get("COSDATA_SCAN_SELECT", "approx")
+
     def scan_f16q():
         return fused_flat_search_codes_f16q(
             st.metric, st.dim, st.dim_pad, k_bins, group, kf, kf,
             flat.SCAN_CHUNK, q_f16, lo, hi, st._arrays, mask,
+            select=select,
         )
 
     def scan_codes():

@@ -704,3 +704,35 @@ class TestCodesEngine:
             assert 5 not in ids[0]
         finally:
             FlatIndex.SCAN_THRESHOLD, FlatIndex.SCAN_CHUNK = old_thresh, old_chunk
+
+    def test_bins_select_matches_approx(self, monkeypatch):
+        """The global-bin-max selection route (COSDATA_SCAN_SELECT=bins,
+        rewritten r5: one maxima table + ONE approx_max_k instead of 16
+        per-chunk sorts) must agree with the default approx route."""
+        from cosdata_tpu.indexes.flat import FlatIndex
+
+        monkeypatch.setenv("COSDATA_FLAT_ENGINE", "codes")
+        old_thresh, old_chunk = FlatIndex.SCAN_THRESHOLD, FlatIndex.SCAN_CHUNK
+        FlatIndex.SCAN_THRESHOLD, FlatIndex.SCAN_CHUNK = 256, 128
+        try:
+            x = _unit(900, 64, 47)
+            q = _unit(16, 64, 48)
+            idx = FlatIndex(dim=64, kind="u8", range_=(-0.3, 0.3),
+                            initial_capacity=1024)
+            idx.add(x)
+            monkeypatch.setenv("COSDATA_SCAN_SELECT", "bins")
+            ids_b, vals_b = idx.search(q, top_k=7, rerank=True)
+            monkeypatch.setenv("COSDATA_SCAN_SELECT", "approx")
+            ids_a, _ = idx.search(q, top_k=7, rerank=True)
+            overlap = np.mean([
+                len(set(a[a >= 0]) & set(bb[bb >= 0])) / 7
+                for a, bb in zip(ids_a, ids_b)
+            ])
+            assert overlap >= 0.9, overlap
+            # self-retrieval through the bins route
+            monkeypatch.setenv("COSDATA_SCAN_SELECT", "bins")
+            ids_s, vals_s = idx.search(x[:8], top_k=3, rerank=True)
+            assert (ids_s[:, 0] == np.arange(8)).all()
+            assert vals_s[0, 0] > 0.99
+        finally:
+            FlatIndex.SCAN_THRESHOLD, FlatIndex.SCAN_CHUNK = old_thresh, old_chunk
