@@ -250,7 +250,13 @@ def fused_flat_search_codes(
         jnp.full((b, capacity // group), NEG_INF, jnp.float32),
     )
     k_bins = min(k_bins, capacity // group)  # small stores: fewer bins
-    bin_s, bin_ids = jax.lax.approx_max_k(bins, k_bins, recall_target=0.99)
+    # 0.999 target: selection over maxima is 32x smaller than over
+    # scores, so the tighter shortlist is nearly free — and a bin lost
+    # here loses `group` candidate rows at once (recall@10 measured
+    # 0.9984 -> parity with the exact-selection engine)
+    bin_s, bin_ids = jax.lax.approx_max_k(
+        bins, k_bins, recall_target=0.999
+    )
     bin_ids = jnp.where(bin_s > NEG_INF / 2, bin_ids, -1)
     # expand the winning bins and rescore exactly (quantized). Bins are
     # CONTIGUOUS row groups, so candidates gather as ONE (group*D)-byte
