@@ -429,10 +429,13 @@ def main():
             k_bins = max(64, -(-kf // group) * 2)
             mask = flat._mask()
 
+            sel = os.environ.get("COSDATA_SCAN_SELECT", "bins")
+
             def dev_call(qd):
                 ids, vals = fused_flat_search_codes_f16q(
                     st.metric, st.dim, st.dim_pad, k_bins, group, kf, kf,
                     flat.SCAN_CHUNK, qd, lo_, hi_, st._arrays, mask,
+                    select=sel,
                 )
                 return exact_rerank_sorted(
                     st.metric, st.dim, st.dim_pad, k, qd, st._raw, ids,
