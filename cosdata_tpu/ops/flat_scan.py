@@ -183,6 +183,11 @@ def fused_flat_search_codes(
     #     ~360 ms per 64k slice on-chip — ~100x off its own module-doc
     #     claim (it survives for interpret-mode tests and the explicit
     #     streamed opt-in).
+    if select == "bins" and b * (capacity // group) > (1 << 28):
+        # the (B, capacity/group) maxima table would exceed ~1 GB f32
+        # (e.g. b4096 x a 32M-row store): fall back to the per-chunk
+        # approx engine rather than risk an HBM blowout
+        select = "approx"
     if select != "bins":
         # u8 dot scores are integer-valued sums: bf16's 8-bit mantissa
         # collapses them into ties above ~256 and approx_max_k breaks the
