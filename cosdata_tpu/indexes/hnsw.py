@@ -756,14 +756,26 @@ class HNSWIndex:
         # per tree) measured 184 s of a 397 s 1M build on the single-core
         # bench host; dispatching the per-level splits as chained eager ops
         # measured 842 s on the tunneled device (see _rp_level).
+        _log = os.environ.get("COSDATA_BUILD_LOG")
+        t0 = time.time()
         jax.block_until_ready(proj)  # keep the queued-op chain short
+        if _log:
+            _blog(f"    rp_order proj: {time.time() - t0:.2f}s")
+        t0 = time.time()
         mp = self._bucket(n_mem, 1024)
         seg_dev = jnp.zeros(mp, jnp.int32)
         for l in range(depth):
             seg_dev = _rp_level(proj, seg_dev, l, mp)
             jax.block_until_ready(seg_dev)  # see _rp_level docstring
+        if _log:
+            _blog(
+                f"    rp_order {depth} levels: {time.time() - t0:.2f}s"
+            )
+        t0 = time.time()
         seg = np.asarray(seg_dev)[:n_mem].astype(np.int64)
         counts = np.bincount(seg, minlength=num_leaves)
+        if _log:
+            _blog(f"    rp_order layout: {time.time() - t0:.2f}s")
         # pad the leaf width to a 512 multiple: leaf_knn's compiled shape
         # then varies over a handful of widths instead of one per level
         # (each fresh XLA compile costs seconds on this platform)
