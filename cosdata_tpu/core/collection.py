@@ -1156,6 +1156,8 @@ class Collection:
                 ids, _ = self._tfidf_ids(qs, fetch)
             return np.asarray(ids, np.int64), slots
 
+        if not jobs:  # empty batch: nothing to fuse
+            return []
         if len(jobs) > 1:
             results = list(self._hybrid_pool.map(run_leg, jobs))
         else:
