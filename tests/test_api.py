@@ -267,6 +267,29 @@ class TestSmoke:
         body = await resp.json()
         assert resp.status == 200 and body["results"]
 
+        # batch-hybrid: ONE collection call regrouping legs across mixed
+        # leg-type queries (r5 serving path)
+        resp = await client.post(
+            "/vectordb/collections/multi/search/batch-hybrid",
+            json={
+                "queries": [
+                    {"query_vector": x[5].tolist(), "query_text": "theme1"},
+                    {"query_terms": [[2, 1.0]], "query_text": "theme2"},
+                    {"query_vector": x[7].tolist(),
+                     "query_terms": [[1, 0.5]]},
+                ],
+                "top_k": 3,
+            },
+            headers=h,
+        )
+        body = await resp.json()
+        assert resp.status == 200, await resp.text()
+        assert len(body["responses"]) == 3
+        assert all(r["results"] for r in body["responses"])
+        assert all(
+            r["results"][0]["score"] > 0 for r in body["responses"]
+        )
+
         # streaming delete
         resp = await client.delete(
             "/vectordb/collections/multi/streaming/vectors/5", headers=h
